@@ -1,0 +1,21 @@
+"""QuBER-TPU: TPU-native unknown-object instance segmentation mask refinement.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of gist-ailab/QuBER
+("Quadruple Boundary Error Refinement"): RGB-D mask refinement for
+unknown-object instance segmentation (UOIS) on tabletop scenes.
+
+Layering (TPU-first):
+  ops/        pure jit-safe array ops: morphology, encodings, grouping, resize
+  models/     flax modules: RGB-D fusion backbone, DeepLabV3+ refiner head,
+              CGNet / LMFFNet foreground segmenters, Panoptic-DeepLab baseline
+  parallel/   jax.sharding mesh utilities (data-parallel over ICI)
+  train/      optax optimizers / LR schedules, orbax checkpointing, train loop
+  data/       dataset registration, perturbation tools, target generation
+  evaluation/ Overlap/Boundary P/R/F metrics with Hungarian matching, harness
+
+Everything in the refine hot path (mask encoding -> dual-trunk backbone ->
+hierarchical error heads -> center grouping) compiles into a single XLA
+program at a fixed 480x640 resolution with MAX_INSTANCES padding.
+"""
+
+__version__ = "0.1.0"

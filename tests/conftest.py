@@ -1,0 +1,38 @@
+import os
+
+# Tests run on a virtual multi-device CPU mesh; must be configured before the
+# JAX backend initializes. The axon TPU plugin registers itself regardless of
+# JAX_PLATFORMS, so we also force the platform through jax.config.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7)
+
+
+def random_blobs(rng, n, h, w, min_r=8, max_r=40):
+    """Generate n random filled-circle masks [n, h, w] uint8."""
+    ys, xs = np.mgrid[:h, :w]
+    masks = []
+    for _ in range(n):
+        cy = rng.randint(max_r, h - max_r)
+        cx = rng.randint(max_r, w - max_r)
+        r = rng.randint(min_r, max_r)
+        masks.append(((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r).astype(np.uint8))
+    return np.stack(masks) if masks else np.zeros((0, h, w), np.uint8)
+
+
+@pytest.fixture
+def blobs():
+    return random_blobs

@@ -1,0 +1,161 @@
+"""Golden tests: panoptic grouping vs torch/numpy oracles re-deriving the
+Panoptic-DeepLab post-processing semantics."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from quber_tpu.ops import grouping as G
+from quber_tpu.ops import encoding as E
+
+
+def torch_find_centers(heat, threshold, nms_kernel, top_k):
+    """Oracle: threshold -> maxpool NMS -> strict top-k cut, row-major order."""
+    x = torch.as_tensor(heat)[None]
+    x = F.threshold(x, threshold, -1.0)
+    pad = (nms_kernel - 1) // 2
+    pooled = F.max_pool2d(x[None], kernel_size=nms_kernel, stride=1, padding=pad)[0]
+    x[x != pooled] = -1
+    x = x.squeeze(0)
+    flat = torch.flatten(x)
+    k = min(top_k, flat.numel())
+    top_vals, _ = torch.topk(flat, k)
+    bound = top_vals[-1].clamp(min=0)
+    return torch.nonzero(x > bound).numpy()
+
+
+def torch_group_pixels(centers, offsets):
+    h, w = offsets.shape[1:]
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
+    loc = np.stack([yy + offsets[0], xx + offsets[1]], axis=-1).reshape(-1, 2)
+    d = np.linalg.norm(centers[:, None, :].astype(np.float32) - loc[None], axis=-1)
+    return np.argmin(d, axis=0).reshape(h, w) + 1
+
+
+def make_scene(rng, blobs, h=120, w=160, n=4):
+    masks = blobs(rng, n, h, w)
+    # resolve overlaps: later instance wins (mirrors a label image)
+    label = np.zeros((h, w), np.int32)
+    for i, m in enumerate(masks):
+        label[m > 0] = i + 1
+    masks = np.stack([(label == i + 1).astype(np.uint8) for i in range(n)])
+    keep = masks.reshape(n, -1).sum(1) > 0
+    masks = masks[keep]
+    enc = np.asarray(E.encode_initial_masks(jnp.asarray(masks), sigma=10, normalize=False))
+    fg = (masks.sum(0) > 0).astype(np.float32)
+    return masks, fg, enc[0], enc[1:]
+
+
+def test_find_centers_matches_torch(rng, blobs):
+    _, _, heat, _ = make_scene(rng, blobs)
+    want = torch_find_centers(heat.copy(), 0.3, 7, 200)
+    centers, valid = G.find_instance_centers(jnp.asarray(heat), 0.3, 7, 200)
+    got = np.asarray(centers)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_find_centers_none_above_threshold():
+    heat = np.full((32, 32), 0.05, np.float32)
+    centers, valid = G.find_instance_centers(jnp.asarray(heat), 0.3, 7, 200)
+    assert not np.asarray(valid).any()
+
+
+def test_group_pixels_matches_torch(rng, blobs):
+    _, _, heat, offsets = make_scene(rng, blobs)
+    centers = torch_find_centers(heat.copy(), 0.3, 7, 200)
+    want = torch_group_pixels(centers, offsets)
+
+    k = 200
+    centers_pad = np.zeros((k, 2), np.int32)
+    centers_pad[: len(centers)] = centers
+    valid = np.zeros((k,), bool)
+    valid[: len(centers)] = True
+    got = np.asarray(
+        G.group_pixels(jnp.asarray(centers_pad), jnp.asarray(valid), jnp.asarray(offsets))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_panoptic_recovers_instances(rng, blobs):
+    masks, fg, heat, offsets = make_scene(rng, blobs, n=5)
+    out = G.get_panoptic_segmentation(
+        jnp.asarray(fg), jnp.asarray(heat), jnp.asarray(offsets),
+        threshold=0.3, nms_kernel=7, top_k=200,
+    )
+    pan = np.asarray(out["panoptic"])
+    n_out = int(out["num_instances"])
+    big = [m for m in masks if m.sum() >= 512]
+    assert n_out == len(big)
+    # each sufficiently large input mask must be recovered as one instance
+    for m in big:
+        ids, counts = np.unique(pan[m > 0], return_counts=True)
+        main = ids[np.argmax(counts)]
+        assert main > 0
+        inter = np.logical_and(pan == main, m > 0).sum()
+        union = np.logical_or(pan == main, m > 0).sum()
+        assert inter / union > 0.95, f"IoU too low: {inter/union}"
+    # background stays 0
+    assert np.all(pan[fg == 0] == 0)
+
+
+def test_small_instance_culled(rng):
+    h, w = 120, 160
+    m = np.zeros((h, w), np.uint8)
+    m[10:25, 10:25] = 1  # 225 px < 512 -> culled to void
+    enc = np.asarray(E.encode_initial_masks(jnp.asarray(m[None]), normalize=False))
+    out = G.get_panoptic_segmentation(
+        jnp.asarray(m.astype(np.float32)), jnp.asarray(enc[0]), jnp.asarray(enc[1:]),
+        threshold=0.3, nms_kernel=7,
+    )
+    assert int(out["num_instances"]) == 0
+    assert np.all(np.asarray(out["panoptic"]) == 0)
+
+
+def test_stuff_blob_when_no_centers():
+    # foreground with a dead heatmap: whole fg >= 2048 px becomes one instance
+    h, w = 120, 160
+    fg = np.zeros((h, w), np.float32)
+    fg[20:90, 30:120] = 1  # 6300 px
+    heat = np.zeros((h, w), np.float32)
+    offsets = np.zeros((2, h, w), np.float32)
+    out = G.get_panoptic_segmentation(jnp.asarray(fg), jnp.asarray(heat), jnp.asarray(offsets))
+    assert int(out["num_instances"]) == 1
+    pan = np.asarray(out["panoptic"])
+    np.testing.assert_array_equal(pan > 0, fg > 0)
+
+
+def test_no_centers_small_fg_is_void():
+    h, w = 64, 64
+    fg = np.zeros((h, w), np.float32)
+    fg[10:20, 10:20] = 1  # 100 px < stuff_area
+    heat = np.zeros((h, w), np.float32)
+    out = G.get_panoptic_segmentation(jnp.asarray(fg), jnp.asarray(heat), jnp.zeros((2, h, w)))
+    assert int(out["num_instances"]) == 0
+
+
+def test_scores_monotone_sane(rng, blobs):
+    masks, fg, heat, offsets = make_scene(rng, blobs, n=3)
+    out = G.get_panoptic_segmentation(
+        jnp.asarray(fg), jnp.asarray(heat), jnp.asarray(offsets), threshold=0.3, nms_kernel=7
+    )
+    n = int(out["num_instances"])
+    scores = np.asarray(out["scores"])[1 : n + 1]
+    # fg prob is binary 1 on the mask and the heatmap peaks at ~1 at the
+    # centroid, so every confidence must be close to 1
+    assert np.all(scores > 0.9)
+
+
+def test_fg_overlap_filter(rng, blobs):
+    masks, fg, heat, offsets = make_scene(rng, blobs, n=4)
+    out = G.get_panoptic_segmentation(
+        jnp.asarray(fg), jnp.asarray(heat), jnp.asarray(offsets), threshold=0.3, nms_kernel=7
+    )
+    n = int(out["num_instances"])
+    # full fg mask keeps everything
+    pan2, n2 = G.fg_overlap_filter(out["panoptic"], out["num_instances"], jnp.asarray(fg))
+    assert int(n2) == n
+    # empty fg mask drops everything
+    pan3, n3 = G.fg_overlap_filter(out["panoptic"], out["num_instances"], jnp.zeros_like(jnp.asarray(fg)))
+    assert int(n3) == 0
+    assert np.all(np.asarray(pan3) == 0)
