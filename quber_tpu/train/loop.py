@@ -1,0 +1,128 @@
+"""SPMD training step and state (jit + NamedSharding data parallelism).
+
+Replaces the reference's detectron2 DefaultTrainer + DDP/NCCL loop
+(/root/reference/train_net.py:186-202, SURVEY §3.1): one jitted train_step
+with the batch sharded over the mesh's "data" axis and params replicated;
+XLA inserts the gradient all-reduce over ICI. BatchNorm statistics (the
+head's FusionLayers use BN, model.py:437) live in a `batch_stats` collection
+threaded through the state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from quber_tpu.models.mask_refiner import MaskRefiner, MaskRefinerConfig, compute_losses
+from quber_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from quber_tpu.train.optim import build_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    model_cfg: MaskRefinerConfig,
+    train_cfg,
+    rng=None,
+    extra_freeze: Callable | None = None,
+):
+    """Init params (at a small spatial size — param shapes are
+    resolution-independent) and the masked optimizer."""
+    rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+    model = MaskRefiner(model_cfg, train=False)
+    # jit the init: eager init dispatches every op individually, which is
+    # catastrophically slow over a remote-TPU tunnel
+    variables = jax.jit(model.init)(
+        rng,
+        jnp.zeros((1, 64, 64, 6)),
+        jnp.zeros((1, 64, 64, 3)) if model_cfg.offset_input_on else None,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(train_cfg, params, extra_freeze)
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
+
+
+def make_train_step(
+    model_cfg: MaskRefinerConfig,
+    train_cfg,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted SPMD train step.
+
+    batch dict (all arrays batch-major, sharded over the mesh data axis):
+      image [B,H,W,6], offset_enc [B,H,W,3], and the target fields of
+      models.mask_refiner.compute_losses.
+    Returns train_step(state, batch, rng) -> (state, metrics).
+    """
+    mesh = mesh or make_mesh()
+    model = MaskRefiner(model_cfg, train=True)
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            outputs, updated = model.apply(
+                variables,
+                batch["image"],
+                batch.get("offset_enc"),
+                full_res=False,
+                mutable=mutable,
+                rngs={"dropout": rng},
+            )
+            losses = compute_losses(outputs, batch, model_cfg)
+            total = sum(losses.values())
+            return total, (losses, updated.get("batch_stats", state.batch_stats))
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, new_params, new_stats, new_opt)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    state_sharding = replicate(mesh)
+    batch_sharding = shard_batch(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sharding, batch_sharding, state_sharding),
+        out_shardings=(state_sharding, state_sharding),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model_cfg: MaskRefinerConfig, mesh=None):
+    """Jitted full-resolution forward for periodic eval."""
+    mesh = mesh or make_mesh()
+    model = MaskRefiner(model_cfg, train=False)
+
+    def fwd(state: TrainState, batch: dict):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, batch["image"], batch.get("offset_enc"))
+
+    return jax.jit(
+        fwd,
+        in_shardings=(replicate(mesh), shard_batch(mesh)),
+        out_shardings=shard_batch(mesh),
+    )
