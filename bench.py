@@ -1,0 +1,69 @@
+"""Headline benchmark: end-to-end single-image mask refinement FPS per chip.
+
+Measures the FULL refine pipeline of quber_tpu.predictor.MaskRefinerPredictor
+(initial-mask encoding -> dual-trunk backbone -> hierarchical heads -> center
+NMS -> pixel grouping -> instance extraction) at the reference's eval
+resolution 480x640 with a realistic OCID-like instance count, as one fused
+XLA program on the TPU.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the driver
+north-star is >30 FPS/chip end-to-end refine. vs_baseline = fps / 30.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from quber_tpu.models import MaskRefinerConfig
+    from quber_tpu.predictor import MaskRefinerPredictor
+
+    cfg = MaskRefinerConfig(dtype="bfloat16")
+    predictor = MaskRefinerPredictor(cfg, max_instances=64)
+
+    # OCID-like synthetic scene: 8 instances on a 480x640 RGB-D frame
+    rng = np.random.RandomState(7)
+    h, w = cfg.height, cfg.width
+    ys, xs = np.mgrid[:h, :w]
+    masks = []
+    for _ in range(8):
+        cy, cx = rng.randint(80, h - 80), rng.randint(80, w - 80)
+        r = rng.randint(30, 60)
+        masks.append(((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r))
+    rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    depth = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+
+    # warmup: compile + first (slow) D2H through the transport
+    pan, count, scores = predictor.predict_packed(rgb, depth, masks)
+    # params are random (perf is weight-independent); check shape sanity only
+    assert pan.shape == (h, w) and 0 <= count <= 64, (pan.shape, count)
+
+    # timed: streaming refine, one frame in flight (input packing + H2D +
+    # encode/forward/group on device + D2H of the panoptic result per frame)
+    iters = 50
+    frames = [(rgb, depth, masks)] * iters
+    t0 = time.time()
+    n_out = 0
+    for pan, count, scores in predictor.predict_stream(frames):
+        n_out += 1
+    dt = (time.time() - t0) / iters
+    assert n_out == iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "e2e_refine_fps_per_chip_480x640",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

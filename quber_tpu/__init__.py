@@ -19,3 +19,21 @@ program at a fixed 480x640 resolution with MAX_INSTANCES padding.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the flagship model takes minutes to
+# compile at 480x640 over the remote-TPU tunnel; cache compiled executables
+# across processes. Opt out with QUBER_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("QUBER_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/quber_jax")
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass

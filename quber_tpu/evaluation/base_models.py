@@ -1,0 +1,102 @@
+"""Base (initial) segmenters for the eval harness.
+
+The reference wraps a zoo of external repos (/root/reference/eval/
+base_model.py); the injectable test doubles — GT / Empty / npy-replay — are
+the metric-pipeline seam (SURVEY §4) and come first. Learned base segmenters
+(UCN mean-shift embeddings, etc.) register into the same interface:
+
+    predict(rgb_path, depth_path) -> (masks [N, H, W] bool, fg_mask | None, seconds)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from quber_tpu.evaluation.datasets import BG_LABELS, EVAL_H, EVAL_W
+
+
+class Empty:
+    """No initial prediction (base_model.py:64-70)."""
+
+    def predict(self, rgb_path, depth_path):
+        return np.zeros((0, EVAL_H, EVAL_W), bool), None, 0.0
+
+
+class GT:
+    """Oracle initial masks from the annotation (base_model.py:72-100)."""
+
+    def __init__(self, dataset: str = "OSD"):
+        self.dataset = dataset
+
+    def predict(self, rgb_path, depth_path):
+        import cv2
+        import imageio.v2 as imageio
+
+        if self.dataset == "OSD":
+            anno_path = rgb_path.replace("image_color", "annotation")
+        elif self.dataset == "OCID":
+            anno_path = rgb_path.replace("rgb", "label")
+        else:
+            anno_path = rgb_path.replace("rgb", "annotation")
+        anno = np.asarray(imageio.imread(anno_path))
+        anno = cv2.resize(anno, (EVAL_W, EVAL_H), interpolation=cv2.INTER_NEAREST)
+        if self.dataset == "OCID":
+            key = "floor" if "floor" in rgb_path else "table"
+            for label in BG_LABELS[key]:
+                anno[anno == label] = 0
+        labels = np.unique(anno)
+        labels = labels[labels != 0]
+        masks = np.array([anno == l for l in labels]) if len(labels) else np.zeros((0, EVAL_H, EVAL_W), bool)
+        return masks, None, 0.0
+
+
+class LoadNpyBaseModel:
+    """Replay pre-recorded initial masks (base_model.py:50-62) — the seam for
+    golden-file parity runs against reference outputs."""
+
+    def __init__(self, npy_folder: str = ""):
+        self.npy_folder = npy_folder
+
+    def predict(self, rgb_path, depth_path):
+        npy_path = os.path.join(
+            self.npy_folder, os.path.basename(rgb_path).replace(".png", ".npy")
+        )
+        masks = np.load(npy_path)
+        return np.asarray(masks) > 0, None, 0.0
+
+
+class PerturbedGT:
+    """GT masks perturbed with the data-generation corruptions — exercises the
+    refiner with controlled error injection without any learned base model."""
+
+    def __init__(self, dataset: str = "OSD", seed: int = 0, target_iou=(0.6, 0.9)):
+        self.gt = GT(dataset)
+        self.rng = np.random.RandomState(seed)
+        self.target_iou = target_iou
+
+    def predict(self, rgb_path, depth_path):
+        from quber_tpu.data.perturb import perturb_masks
+
+        masks, fg, t = self.gt.predict(rgb_path, depth_path)
+        masks = perturb_masks(masks, self.rng, target_iou=self.target_iou)
+        return masks, fg, t
+
+
+def build_base_model(name: str, dataset: str, npy_folder: str = ""):
+    if name == "gt":
+        return GT(dataset)
+    if name == "empty":
+        return Empty()
+    if name == "npy":
+        return LoadNpyBaseModel(npy_folder)
+    if name == "perturbed-gt":
+        return PerturbedGT(dataset)
+    if name == "ucn":
+        from quber_tpu.models.ucn import UCNBaseModel
+
+        return UCNBaseModel(dataset=dataset)
+    raise NotImplementedError(
+        f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn"
+    )

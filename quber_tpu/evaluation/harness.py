@@ -1,0 +1,174 @@
+"""End-to-end evaluation harness: base segmenter -> refiner -> metrics.
+
+Rebuild of /root/reference/eval/eval_utils.py:39-431 / eval/run_eval.py:
+walk a benchmark dataset, run the initial segmenter and the refiner per
+image, convert masks to label images, compute Overlap/Boundary P/R/F (+OSN,
+F@.75, mIoU) for both, aggregate means, print a table, and write a CSV row.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+from quber_tpu.evaluation.base_models import build_base_model
+from quber_tpu.evaluation.datasets import build_file_lists, load_annotation
+from quber_tpu.evaluation.metrics import multilabel_metrics
+from quber_tpu.evaluation.refiner_models import build_refiner_model
+
+PRINT_KEYS = [
+    "Objects F-measure",
+    "Objects Precision",
+    "Objects Recall",
+    "Boundary F-measure",
+    "Boundary Precision",
+    "Boundary Recall",
+    "Objects OSN F-measure",
+    "Boundary OSN F-measure",
+    "obj_detected_075_percentage",
+    "obj_detected_075_percentage_normalized",
+    "obj_mIOU",
+]
+
+
+def masks_to_label_image(masks, like: np.ndarray) -> np.ndarray:
+    """Paste masks in order; later masks overwrite (eval_utils.py:280-285)."""
+    out = np.zeros_like(like, dtype=np.int32)
+    for i, m in enumerate(masks):
+        out[np.asarray(m) > 0] = i + 1
+    return out
+
+
+def aggregate(metrics_list: list[dict]) -> dict:
+    """Mean of each numeric key over images (missing keys skipped)."""
+    if not metrics_list:
+        return {}
+    result = {}
+    for key in metrics_list[0]:
+        vals = [m[key] for m in metrics_list if m.get(key) is not None]
+        if vals:
+            result[key] = float(np.mean(vals))
+    return result
+
+
+def print_table(tag: str, agg: dict):
+    print(f"==== {tag} ====")
+    for k in PRINT_KEYS:
+        if k in agg:
+            print(f"  {k:45s} {100 * agg[k]:6.2f}")
+
+
+def save_csv(path: str, row: OrderedDict):
+    import csv
+
+    exists = os.path.exists(path)
+    try:
+        with open(path, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if not exists:
+                writer.writeheader()
+            writer.writerow(row)
+    except OSError as e:  # never fail a finished eval on CSV IO
+        print(f"CSV save failed: {e}")
+
+
+def run_eval(
+    base_model="gt",
+    refiner_model="maskrefiner",
+    test_dataset="OSD",
+    dataset_path=None,
+    config=None,
+    params=None,
+    npy_folder="",
+    limit=None,
+    visualize=False,
+    vis_dir="./vis",
+    csv_path="./eval_results.csv",
+):
+    base = base_model if not isinstance(base_model, str) else build_base_model(
+        base_model, test_dataset, npy_folder
+    )
+    refiner = (
+        refiner_model
+        if not isinstance(refiner_model, str)
+        else build_refiner_model(refiner_model, test_dataset, config, params, npy_folder)
+    )
+    rgb_paths, depth_paths, anno_paths = build_file_lists(test_dataset, dataset_path)
+    if limit:
+        rgb_paths, depth_paths, anno_paths = (
+            rgb_paths[:limit], depth_paths[:limit], anno_paths[:limit],
+        )
+
+    initial_metrics_all, refined_metrics_all = [], []
+    initial_times, refined_times = [], []
+    for rgb_path, depth_path, anno_path in zip(rgb_paths, depth_paths, anno_paths):
+        anno = load_annotation(anno_path, test_dataset, rgb_path)
+
+        initial_masks, fg_mask, t_init = base.predict(rgb_path, depth_path)
+        initial_times.append(t_init)
+
+        refined_masks, refined_output, t_ref, fg_mask = refiner.predict(
+            rgb_path, depth_path, initial_masks, fg_mask
+        )
+        refined_times.append(t_ref)
+
+        initial_pred = masks_to_label_image(initial_masks, anno)
+        refined_pred = masks_to_label_image(refined_masks, anno)
+
+        if visualize:
+            _save_visualization(
+                vis_dir, test_dataset, rgb_path, anno, initial_pred, refined_pred,
+                refined_output,
+            )
+
+        initial_metrics_all.append(multilabel_metrics(initial_pred, anno))
+        refined_metrics_all.append(multilabel_metrics(refined_pred, anno))
+
+    # first refine includes warmup; drop it from timing (eval_utils.py:342)
+    timing = refined_times[1:] or refined_times
+    avg_ms = 1000 * float(np.mean(timing)) if timing else 0.0
+    std_ms = 1000 * float(np.std(timing)) if timing else 0.0
+    print(f"Average refine time: {avg_ms:.2f} ms (std {std_ms:.2f})")
+
+    results = {}
+    for tag, metrics_all in [("initial", initial_metrics_all), ("refined", refined_metrics_all)]:
+        agg = aggregate(metrics_all)
+        print_table(f"{tag} ({test_dataset}, n={len(metrics_all)})", agg)
+        results[tag] = agg
+        row = OrderedDict(
+            [("dataset", test_dataset), ("stage", tag),
+             ("base", getattr(base, "__class__", type(base)).__name__),
+             ("refiner", getattr(refiner, "__class__", type(refiner)).__name__),
+             ("n_images", len(metrics_all)), ("avg_ms", avg_ms)]
+            + [(k, agg.get(k)) for k in PRINT_KEYS]
+        )
+        save_csv(csv_path, row)
+    results["avg_refine_ms"] = avg_ms
+    results["std_refine_ms"] = std_ms
+    return results
+
+
+def _save_visualization(vis_dir, dataset, rgb_path, anno, initial_pred, refined_pred, refined_output):
+    """Tiled rgb / gt / initial / refined / EEE overlays (eval_utils.py:288-334)."""
+    import cv2
+
+    os.makedirs(os.path.join(vis_dir, dataset), exist_ok=True)
+    rgb = cv2.imread(rgb_path)
+    rgb = cv2.resize(rgb, (anno.shape[1], anno.shape[0]))
+
+    def colorize(label):
+        rng = np.random.RandomState(1)
+        colors = rng.randint(0, 255, (int(label.max()) + 1, 3), np.uint8)
+        colors[0] = 0
+        return colors[label]
+
+    tiles = [rgb, colorize(anno), colorize(initial_pred), colorize(refined_pred)]
+    if refined_output and "panoptic" in refined_output:
+        tiles.append(colorize(np.asarray(refined_output["panoptic"])))
+    canvas = np.concatenate(tiles, axis=1)
+    cv2.imwrite(
+        os.path.join(vis_dir, dataset, os.path.basename(rgb_path)), canvas
+    )

@@ -1,0 +1,137 @@
+"""Refiner wrappers for the eval harness.
+
+Interface (mirroring /root/reference/eval/refiner_model.py):
+    predict(rgb_path, depth_path, initial_masks, fg_mask)
+        -> (refined_masks [N, H, W] bool, raw_output | None, seconds, fg_mask)
+
+QuBERRefiner reproduces the reference MaskRefiner wrapper semantics
+(refiner_model.py:214-297): resize to 640x480, normalize + Telea-inpaint
+depth, refine, filter instances by foreground overlap > 0.3, and zero-depth
+filtering on OCID — but the mask encoding / network / grouping / fg-filter
+all run inside the predictor's single XLA program.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from quber_tpu.evaluation.datasets import EVAL_H, EVAL_W
+from quber_tpu.ops.preprocess import inpaint_depth, normalize_depth
+
+
+def _load_rgbd(rgb_path, depth_path):
+    import cv2
+    import imageio.v2 as imageio
+
+    rgb = cv2.imread(rgb_path)
+    rgb = cv2.resize(rgb, (EVAL_W, EVAL_H))
+    if depth_path.endswith(".npy"):
+        depth = np.load(depth_path)
+        depth_n = normalize_depth(depth, 0.25, 1.5)
+    else:
+        depth = np.asarray(imageio.imread(depth_path))
+        depth_n = normalize_depth(depth)
+    zero_depth = depth == 0
+    depth_n = cv2.resize(depth_n, (EVAL_W, EVAL_H), interpolation=cv2.INTER_NEAREST)
+    depth_n = inpaint_depth(depth_n)
+    return rgb, depth_n, zero_depth
+
+
+class LoadNpyRefinerModel:
+    """Replay pre-recorded refined masks (refiner_model.py:186-212)."""
+
+    def __init__(self, npy_folder: str = "", dataset: str = "OSD"):
+        self.npy_folder = npy_folder
+        self.dataset = dataset
+
+    def predict(self, rgb_path, depth_path, initial_masks, fg_mask):
+        import imageio.v2 as imageio
+
+        npy_path = os.path.join(
+            self.npy_folder, os.path.basename(rgb_path).replace(".png", ".npy")
+        )
+        refined = np.load(npy_path) > 0
+        if self.dataset == "OCID":
+            depth_img = np.asarray(imageio.imread(depth_path))
+            refined &= (depth_img != 0)[None]
+        return refined, None, 0.0, None
+
+
+class IdentityRefiner:
+    """Pass-through (refiner baseline floor: refined == initial)."""
+
+    def predict(self, rgb_path, depth_path, initial_masks, fg_mask):
+        return np.asarray(initial_masks) > 0, None, 0.0, fg_mask
+
+
+class QuBERRefiner:
+    """The QuBER mask refiner + LMFFNet foreground filter."""
+
+    def __init__(self, config=None, params=None, fg_params=None, dataset="OSD",
+                 max_instances: int = 64, use_fg_filter: bool = True):
+        from quber_tpu.predictor import MaskRefinerPredictor
+
+        self.predictor = MaskRefinerPredictor(config, params, max_instances)
+        self.dataset = dataset
+        self.use_fg_filter = use_fg_filter
+        self.fg_predictor = None
+        if use_fg_filter:
+            from quber_tpu.models.fg_predictor import LMFFNetPredictor
+
+            self.fg_predictor = LMFFNetPredictor(params=fg_params)
+
+    def predict(self, rgb_path, depth_path, initial_masks, fg_mask):
+        rgb, depth_n, zero_depth = _load_rgbd(rgb_path, depth_path)
+
+        start = time.time()
+        pan, count, scores = self.predictor.predict_packed(rgb, depth_n, initial_masks)
+        refined = (
+            pan[None] == np.arange(1, count + 1)[:, None, None]
+            if count
+            else np.zeros((0, EVAL_H, EVAL_W), bool)
+        )
+        elapsed = time.time() - start
+
+        fg = None
+        if self.fg_predictor is not None:
+            fg = self.fg_predictor.predict(rgb_path, depth_path)
+            keep = []
+            for m in refined:
+                s = m.sum()
+                if s and np.logical_and(m, fg).sum() / s > 0.3:
+                    keep.append(m)
+            refined = (
+                np.asarray(keep) if keep else np.zeros((0, EVAL_H, EVAL_W), bool)
+            )
+            elapsed = time.time() - start
+
+        if self.dataset == "OCID" and len(refined):
+            # zero-depth pixels carry no label in OCID GT (refiner_model.py:283-288)
+            import cv2
+
+            zd = cv2.resize(
+                zero_depth.astype(np.uint8), (EVAL_W, EVAL_H),
+                interpolation=cv2.INTER_NEAREST,
+            ).astype(bool)
+            refined = refined & ~zd[None]
+        return refined, {"panoptic": pan, "scores": scores}, elapsed, fg
+
+
+def build_refiner_model(name: str, dataset: str, config=None, params=None,
+                        npy_folder: str = ""):
+    if name == "maskrefiner":
+        return QuBERRefiner(config, params, dataset=dataset)
+    if name == "maskrefiner-nofilter":
+        return QuBERRefiner(config, params, dataset=dataset, use_fg_filter=False)
+    if name == "identity":
+        return IdentityRefiner()
+    if name == "npy":
+        return LoadNpyRefinerModel(npy_folder, dataset)
+    if name is None or name == "none":
+        return None
+    raise NotImplementedError(
+        f"refiner model {name}; available: maskrefiner, maskrefiner-nofilter, identity, npy"
+    )

@@ -27,6 +27,13 @@ from quber_tpu.ops.encoding import encode_initial_masks
 from quber_tpu.ops.grouping import get_panoptic_segmentation
 
 
+def unpack_bits_device(packed: jnp.ndarray, n_bits: int) -> jnp.ndarray:
+    """uint8 [..., n_bytes] -> bool [..., n_bits] (np.packbits bitorder='big')."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & 1
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)[..., :n_bits] > 0
+
+
 def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
     """[N, H, W] bool -> XYXY boxes [N, 4] (detectron2 BitMasks convention)."""
     boxes = np.zeros((len(masks), 4), np.float32)
@@ -66,6 +73,18 @@ class MaskRefinerPredictor:
             )
         self.params = params
         self._pipeline = jax.jit(self._pipeline_impl)
+        self._pipeline_packed = jax.jit(self._pipeline_packed_impl)
+        self._pipeline_packed_batch = jax.jit(
+            jax.vmap(self._pipeline_packed_impl, in_axes=(None, 0))
+        )
+        # packed-buffer layout (see _pack_inputs): image u8 + bitpacked masks
+        cfg = self.config
+        h, w, n = cfg.height, cfg.width, max_instances
+        self._img_bytes = h * w * 6
+        self._mask_bytes = n * (h * w // 8)
+        self._valid_bytes = (n + 7) // 8
+        self._in_bytes = self._img_bytes + self._mask_bytes + self._valid_bytes
+        self._scores_len = cfg.top_k_instances + 2
 
     def _pipeline_impl(self, params, image, masks, valid):
         """image [H, W, 6] f32, masks [N, H, W] bool, valid [N] bool."""
@@ -104,6 +123,130 @@ class MaskRefinerPredictor:
         if cfg.eee_boundary_on:
             result["eee_boundary"] = jnp.transpose(out["eee_boundary"][0], (2, 0, 1))
         return result
+
+    # ------------------------------------------------------------------
+    # Packed transfer path.
+    #
+    # The remote-TPU transport has ~10 ms per-array overhead, a slow path
+    # for bool arrays, and an element-wise (!) device->host path for small
+    # transfers, so the streaming predictor moves exactly ONE uint8 buffer
+    # in each direction per frame: [image u8 | bitpacked masks | valid bits]
+    # in, [panoptic u8 | count | scores bitcast] out. This also minimizes
+    # PCIe traffic on a directly-attached TPU.
+    # ------------------------------------------------------------------
+
+    def _pack_inputs(self, rgb_img, depth_img, perturbed_masks) -> np.ndarray:
+        cfg = self.config
+        h, w, n = cfg.height, cfg.width, self.max_instances
+        buf = np.zeros((self._in_bytes,), np.uint8)
+        img = buf[: self._img_bytes].reshape(h, w, 6)
+        img[..., :3] = rgb_img
+        img[..., 3:] = depth_img
+        count = min(len(perturbed_masks), n)
+        # pack only the used instance rows; the rest of the buffer stays zero
+        mask_region = buf[self._img_bytes : self._img_bytes + self._mask_bytes]
+        row_bytes = h * w // 8
+        if count:
+            used = np.asarray(perturbed_masks[:count]) > 0
+            mask_region[: count * row_bytes] = np.packbits(
+                used.reshape(count, -1), axis=1
+            ).reshape(-1)
+        valid = np.zeros((n,), bool)
+        valid[:count] = True
+        buf[self._img_bytes + self._mask_bytes :] = np.packbits(valid)
+        return buf
+
+    def _pipeline_packed_impl(self, params, buf):
+        cfg = self.config
+        h, w, n = cfg.height, cfg.width, self.max_instances
+        image = buf[: self._img_bytes].reshape(h, w, 6).astype(jnp.float32)
+        packed = buf[self._img_bytes : self._img_bytes + self._mask_bytes]
+        masks = unpack_bits_device(packed.reshape(n, h * w // 8), h * w).reshape(n, h, w)
+        valid = unpack_bits_device(buf[self._img_bytes + self._mask_bytes :], n)
+        out = self._pipeline_impl(params, image, masks, valid)
+        # pack outputs: panoptic u8 | num_instances u8 | scores f32 bitcast
+        pan = out["panoptic_seg"].astype(jnp.uint8).reshape(-1)
+        cnt = out["num_instances"].astype(jnp.uint8).reshape(1)
+        scores = jax.lax.bitcast_convert_type(
+            out["instance_scores"], jnp.uint8
+        ).reshape(-1)
+        return jnp.concatenate([pan, cnt, scores])
+
+    def _unpack_outputs(self, buf: np.ndarray):
+        cfg = self.config
+        h, w = cfg.height, cfg.width
+        pan = buf[: h * w].reshape(h, w).astype(np.int32)
+        count = int(buf[h * w])
+        scores = buf[h * w + 1 :].view(np.float32)[: self._scores_len]
+        return pan, count, scores
+
+    def predict_packed(self, rgb_img, depth_img, perturbed_masks):
+        """(panoptic [H, W] int32, count, scores) with one transfer each way."""
+        buf = self._pack_inputs(rgb_img, depth_img, perturbed_masks)
+        out = self._pipeline_packed(self.params, jnp.asarray(buf))
+        return self._unpack_outputs(np.asarray(out))
+
+    def predict_batch(self, frames):
+        """Refine a list of (rgb, depth, masks) frames as ONE device call.
+
+        TPU-idiomatic throughput path: stacks the packed input buffers,
+        vmaps the fused pipeline over the frame axis (batching the convs
+        onto the MXU), and moves one buffer each way. Returns a list of
+        (panoptic, count, scores)."""
+        bufs = np.stack([self._pack_inputs(*f) for f in frames])
+        out = np.asarray(self._pipeline_packed_batch(self.params, jnp.asarray(bufs)))
+        return [self._unpack_outputs(out[i]) for i in range(len(frames))]
+
+    def predict_batch_stream(self, frames, batch_size: int = 8):
+        """Stream frames in fixed-size device batches with double buffering
+        (the last partial batch is padded with its first frame)."""
+        pending = None  # (device_out, real_count)
+        batch = []
+
+        def flush(batch):
+            real = len(batch)
+            while len(batch) < batch_size:
+                batch.append(batch[0])
+            bufs = np.stack([self._pack_inputs(*f) for f in batch])
+            return self._pipeline_packed_batch(self.params, jnp.asarray(bufs)), real
+
+        for frame in frames:
+            batch.append(frame)
+            if len(batch) == batch_size:
+                nxt = flush(batch)
+                batch = []
+                if pending is not None:
+                    out, real = pending
+                    host = np.asarray(out)
+                    for i in range(real):
+                        yield self._unpack_outputs(host[i])
+                pending = nxt
+        if batch:
+            nxt = flush(batch)
+            if pending is not None:
+                out, real = pending
+                host = np.asarray(out)
+                for i in range(real):
+                    yield self._unpack_outputs(host[i])
+            pending = nxt
+        if pending is not None:
+            out, real = pending
+            host = np.asarray(out)
+            for i in range(real):
+                yield self._unpack_outputs(host[i])
+
+    def predict_stream(self, frames):
+        """Generator over (rgb, depth, masks) frames with double buffering:
+        frame t+1's transfer + compute overlap frame t's result fetch."""
+        prev = None
+        for frame in frames:
+            buf = self._pack_inputs(*frame)
+            cur = self._pipeline_packed(self.params, jnp.asarray(buf))
+            if prev is not None:
+                yield self._unpack_outputs(np.asarray(prev))
+            prev = cur
+        if prev is not None:
+            yield self._unpack_outputs(np.asarray(prev))
 
     def _assemble_image(self, rgb_img, depth_img):
         cfg = self.config

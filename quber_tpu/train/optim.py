@@ -80,5 +80,10 @@ def build_optimizer(
         raise ValueError(train_cfg.optimizer)
     if train_cfg.weight_decay > 0:
         tx = optax.chain(optax.add_decayed_weights(train_cfg.weight_decay), tx)
+    # NOTE: optax.masked passes raw gradients through for mask=False leaves —
+    # frozen params must get ZERO updates, so use multi_transform instead.
     mask = make_freeze_mask(params, extra_freeze)
-    return optax.masked(tx, mask)
+    labels = jax.tree.map(lambda trainable: "train" if trainable else "freeze", mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )

@@ -1,0 +1,61 @@
+"""CLI for the end-to-end UOIS refinement benchmark.
+
+Drop-in equivalent of /root/reference/eval/run_eval.py:
+
+    python run_eval.py --base-model gt --refiner-model maskrefiner \
+        --test-dataset OSD --dataset-path /data/OSD-0.2-depth
+"""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config-file", default="configs/mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8.yaml")
+    parser.add_argument("--base-model", default="gt",
+                        help="gt | empty | npy | perturbed-gt | ucn")
+    parser.add_argument("--refiner-model", default="maskrefiner",
+                        help="maskrefiner | maskrefiner-nofilter | identity | npy")
+    parser.add_argument("--test-dataset", default="OSD",
+                        help="OSD | OCID | WISDOM | HOPE | DoPose")
+    parser.add_argument("--dataset-path", default=None)
+    parser.add_argument("--weights-file", default=None,
+                        help="orbax checkpoint dir (random init if omitted)")
+    parser.add_argument("--npy-folder", default="")
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--vis_dir", default="./vis")
+    parser.add_argument("--csv", default="./eval_results.csv")
+    args = parser.parse_args()
+
+    from quber_tpu.config import from_detectron2_yaml, load_config
+    from quber_tpu.evaluation.harness import run_eval
+
+    if args.config_file.startswith("configs/") or "model:" in open(args.config_file).read():
+        model_cfg, _ = load_config(args.config_file)
+    else:
+        model_cfg, _ = from_detectron2_yaml(args.config_file)
+
+    params = None
+    if args.weights_file:
+        from quber_tpu.train.checkpoint import restore_params
+
+        params = restore_params(args.weights_file)
+
+    run_eval(
+        base_model=args.base_model,
+        refiner_model=args.refiner_model,
+        test_dataset=args.test_dataset,
+        dataset_path=args.dataset_path,
+        config=model_cfg,
+        params=params,
+        npy_folder=args.npy_folder,
+        limit=args.limit,
+        visualize=args.visualize,
+        vis_dir=args.vis_dir,
+        csv_path=args.csv,
+    )
+
+
+if __name__ == "__main__":
+    main()

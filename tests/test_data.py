@@ -1,0 +1,90 @@
+"""Data-layer tests: RLE codec, perturbation, Perlin distortion."""
+
+import numpy as np
+import pytest
+
+from quber_tpu.data import perlin, perturb, rle
+
+
+def test_rle_roundtrip(rng, blobs):
+    for mask in blobs(rng, 4, 97, 131):  # odd sizes on purpose
+        enc = rle.encode(mask)
+        dec = rle.decode(enc)
+        np.testing.assert_array_equal(dec, mask)
+
+
+def test_rle_roundtrip_edge_cases():
+    for mask in [np.zeros((16, 16), np.uint8),
+                 np.ones((16, 16), np.uint8),
+                 np.eye(32, dtype=np.uint8)]:
+        np.testing.assert_array_equal(rle.decode(rle.encode(mask)), mask)
+
+
+def test_rle_native_matches_fallback(rng, blobs):
+    lib = rle._load_lib()
+    if not lib:
+        pytest.skip("native RLE lib not built")
+    for mask in blobs(rng, 3, 64, 80, min_r=6, max_r=16):
+        native = rle.encode(mask)
+        fallback = {
+            "size": [64, 80],
+            "counts": rle._string_from_counts(rle._counts_from_mask(mask)),
+        }
+        assert native["counts"] == fallback["counts"]
+        np.testing.assert_array_equal(
+            rle._mask_from_counts(rle._counts_from_string(native["counts"]), 64, 80),
+            mask,
+        )
+
+
+def test_rle_counts_structure():
+    # a known tiny mask: 3x3, single pixel at (1,1) -> column-major runs
+    mask = np.zeros((3, 3), np.uint8)
+    mask[1, 1] = 1
+    counts = rle._counts_from_mask(mask)
+    np.testing.assert_array_equal(counts, [4, 1, 4])
+
+
+def test_perturb_masks_iou_target(rng, blobs):
+    masks = blobs(rng, 4, 240, 320, min_r=20, max_r=45)
+    out = perturb.perturb_masks(
+        masks, rng, target_iou=(0.6, 0.9),
+        ratios={"fp": 0, "over": 0, "under": 0, "delete": 0, "boundary": 1.0},
+    )
+    assert len(out) == len(masks)
+    ious = [perturb.mask_iou(o, m) for o, m in zip(out, masks)]
+    # jitter must corrupt but not destroy
+    assert all(i < 1.0 for i in ious)
+    assert all(i > 0.2 for i in ious)
+
+
+def test_perturb_masks_operations(rng, blobs):
+    masks = blobs(rng, 3, 240, 320)
+    # force each structural op
+    out = perturb.perturb_masks(masks, np.random.RandomState(1),
+                                ratios={"fp": 1.0, "over": 0, "under": 0, "delete": 0, "boundary": 0})
+    assert len(out) == 4  # fp added
+    out = perturb.perturb_masks(masks, np.random.RandomState(2),
+                                ratios={"fp": 0, "over": 1.0, "under": 0, "delete": 0, "boundary": 0})
+    assert len(out) >= 3  # split may add one
+    out = perturb.perturb_masks(masks, np.random.RandomState(3),
+                                ratios={"fp": 0, "over": 0, "under": 1.0, "delete": 0, "boundary": 0})
+    assert len(out) == 2  # merged two
+    out = perturb.perturb_masks(masks, np.random.RandomState(4),
+                                ratios={"fp": 0, "over": 0, "under": 0, "delete": 1.0, "boundary": 0})
+    assert len(out) == 2  # deleted one
+
+
+def test_perlin_distortion(rng):
+    depth = rng.uniform(500, 1500, (120, 160)).astype(np.float32)
+    depth[10:20, 10:20] = 0
+    out = perlin.perlin_distortion(depth, rng)
+    assert out.shape == depth.shape
+    # invalid pixels stay invalid
+    assert np.all(out[10:20, 10:20] == 0)
+    # distortion changed something but stayed in a sane range (valid pixels
+    # near holes may warp-sample the hole and go to ~0; the mapper clips to
+    # the configured depth range afterwards, as the reference does)
+    valid = depth > 0
+    assert not np.allclose(out[valid], depth[valid])
+    assert np.percentile(out[valid], 5) > 300 and out[valid].max() < 1700

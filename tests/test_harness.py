@@ -1,0 +1,69 @@
+"""Eval-harness mechanics on a synthetic OSD-layout dataset (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from quber_tpu.evaluation.harness import aggregate, masks_to_label_image, run_eval
+
+
+@pytest.fixture
+def osd_dir(tmp_path, rng, blobs):
+    import cv2
+
+    root = tmp_path / "osd"
+    for sub in ["image_color", "disparity", "annotation"]:
+        (root / sub).mkdir(parents=True)
+    for i in range(3):
+        rgb = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+        depth = rng.uniform(400, 1400, (480, 640)).astype(np.uint16)
+        masks = blobs(rng, 3, 480, 640, min_r=40, max_r=70)
+        anno = masks_to_label_image(masks, np.zeros((480, 640), np.uint8))
+        cv2.imwrite(str(root / "image_color" / f"img{i}.png"), rgb)
+        cv2.imwrite(str(root / "disparity" / f"img{i}.png"), depth)
+        cv2.imwrite(str(root / "annotation" / f"img{i}.png"), anno.astype(np.uint8))
+    return str(root)
+
+
+def test_gt_identity_is_perfect(osd_dir, tmp_path):
+    results = run_eval(
+        base_model="gt",
+        refiner_model="identity",
+        test_dataset="OSD",
+        dataset_path=osd_dir,
+        csv_path=str(tmp_path / "out.csv"),
+    )
+    for stage in ["initial", "refined"]:
+        assert results[stage]["Objects F-measure"] == 1.0
+        assert results[stage]["Boundary F-measure"] == 1.0
+    assert os.path.exists(tmp_path / "out.csv")
+
+
+def test_perturbed_gt_identity_degrades(osd_dir, tmp_path):
+    results = run_eval(
+        base_model="perturbed-gt",
+        refiner_model="identity",
+        test_dataset="OSD",
+        dataset_path=osd_dir,
+        csv_path=str(tmp_path / "out.csv"),
+    )
+    assert results["initial"]["Objects F-measure"] < 1.0
+    assert results["initial"]["Objects F-measure"] > 0.3
+
+
+def test_empty_base(osd_dir, tmp_path):
+    results = run_eval(
+        base_model="empty",
+        refiner_model="identity",
+        test_dataset="OSD",
+        dataset_path=osd_dir,
+        csv_path=str(tmp_path / "out.csv"),
+    )
+    assert results["initial"]["Objects F-measure"] == 0.0
+    assert results["initial"]["Objects Precision"] == 1.0  # all-FN edge case
+
+
+def test_aggregate_skips_missing():
+    agg = aggregate([{"a": 1.0, "b": None}, {"a": 3.0, "b": 2.0}])
+    assert agg["a"] == 2.0 and agg["b"] == 2.0

@@ -1,0 +1,176 @@
+"""QuBER-TPU training driver.
+
+CLI equivalent of /root/reference/train_net.py (detectron2 DefaultTrainer +
+DDP launch): SPMD data parallelism over a jax.sharding mesh replaces the
+per-GPU process launch; orbax checkpoints replace DetectionCheckpointer.
+
+    python train_net.py --config-file configs/mask_refiner_rgbd_...yaml \
+        --dataset uoais_sim_train_panoptic --data-root datasets \
+        --output-dir output/flagship [--resume] [--max-iter N]
+
+Use --synthetic for a self-contained smoke run without datasets on disk.
+"""
+
+import argparse
+import os
+import time
+
+
+def synthetic_records(n, h, w, seed=0):
+    """In-memory dataset records exercising the full mapper path."""
+    import numpy as np
+
+    from quber_tpu.data import rle
+    from quber_tpu.data.perturb import perturb_masks
+
+    rng = np.random.RandomState(seed)
+    ys, xs = np.mgrid[:h, :w]
+    records = []
+    for i in range(n):
+        masks = []
+        margin = max(8, min(h, w) // 8)
+        r_max = max(10, min(h, w) // 8)
+        for _ in range(rng.randint(2, 6)):
+            cy, cx = rng.randint(margin, h - margin), rng.randint(margin, w - margin)
+            r = rng.randint(r_max // 2, r_max)
+            masks.append(((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r).astype(np.uint8))
+        pert = perturb_masks(np.asarray(masks), rng, target_iou=(0.7, 0.95))
+        records.append({
+            "gt_masks": np.asarray(masks),
+            "perturbed_segmentation": [rle.encode(m) for m in pert],
+            "height": h, "width": w,
+            "rgb": (rng.rand(h, w, 3) * 255).astype(np.uint8),
+            "depth_mm": rng.uniform(3000, 12000, (h, w)).astype(np.float32),
+        })
+    return records
+
+
+class SyntheticMapper:
+    """Mapper for in-memory records (bypasses file IO, keeps target math)."""
+
+    def __init__(self, train_cfg, model_cfg):
+        from quber_tpu.data.mappers import PerturbedPanopticMapper
+
+        self._m = PerturbedPanopticMapper(train_cfg, model_cfg)
+        self.tc, self.mc = train_cfg, model_cfg
+
+    def __call__(self, record):
+        import numpy as np
+
+        from quber_tpu.data import rle
+        from quber_tpu.data.eee import compute_eee_maps
+        from quber_tpu.data.mappers import normalize_depth_mm, numpy_center_offset
+        from quber_tpu.models.mask_refiner import assemble_eee_targets
+
+        h, w = self.mc.height, self.mc.width
+        gt_masks = record["gt_masks"]
+        pert = np.asarray([rle.decode(r) for r in record["perturbed_segmentation"]])
+        sem_seg = (gt_masks.sum(0) > 0).astype(np.float32)
+        center, offset, _ = numpy_center_offset(gt_masks, h, w, self.tc.gaussian_sigma)
+        p_center, p_offset, _ = numpy_center_offset(pert, h, w, self.tc.gaussian_sigma, normalize=True)
+        maps = compute_eee_maps(gt_masks, pert)
+        et = self.mc.error_type
+        sem_weights = np.ones((h, w), np.float32)
+        for m in gt_masks:
+            if m.sum() < self.tc.small_instance_area:
+                sem_weights[m > 0] = self.tc.small_instance_weight
+        return {
+            "image": np.concatenate(
+                [record["rgb"].astype(np.float32),
+                 normalize_depth_mm(record["depth_mm"], self.tc.depth_range)], axis=-1),
+            "offset_enc": np.stack([p_center, p_offset[0], p_offset[1]], -1).astype(np.float32),
+            "sem_seg": sem_seg,
+            "sem_seg_weights": sem_weights,
+            "center": center,
+            "center_weights": sem_seg,
+            "offset": np.stack([offset[0], offset[1]], -1),
+            "offset_weights": sem_seg,
+            "eee_mask": np.asarray(assemble_eee_targets(
+                maps["tp_mask"], maps["tn_mask"], maps["fp_mask"], maps["fn_mask"], et)),
+            "eee_boundary": np.asarray(assemble_eee_targets(
+                maps["tp_boundary"], maps["tn_boundary"], maps["fp_boundary"], maps["fn_boundary"], et)),
+        }
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config-file", default="configs/mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8.yaml")
+    parser.add_argument("--dataset", default="uoais_sim_train_panoptic")
+    parser.add_argument("--data-root", default="datasets")
+    parser.add_argument("--output-dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max-iter", type=int, default=None)
+    parser.add_argument("--log-period", type=int, default=20)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on generated data (smoke/e2e test)")
+    parser.add_argument("--synthetic-size", type=int, default=32)
+    parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--width", type=int, default=None)
+    args = parser.parse_args()
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from quber_tpu.config import load_config
+    from quber_tpu.data.mappers import PerturbedPanopticMapper, batch_iterator
+    from quber_tpu.parallel.mesh import make_mesh, put_batch
+    from quber_tpu.train.checkpoint import restore_state, save_state
+    from quber_tpu.train.loop import create_train_state, make_train_step
+
+    model_cfg, train_cfg = load_config(args.config_file)
+    if args.height or args.width:
+        model_cfg = dataclasses.replace(
+            model_cfg, height=args.height or model_cfg.height,
+            width=args.width or model_cfg.width,
+        )
+    if args.max_iter:
+        train_cfg = dataclasses.replace(train_cfg, max_iter=args.max_iter)
+    output_dir = args.output_dir or os.path.join(
+        "output", os.path.splitext(os.path.basename(args.config_file))[0]
+    )
+    os.makedirs(output_dir, exist_ok=True)
+
+    if args.synthetic:
+        records = synthetic_records(args.synthetic_size, model_cfg.height, model_cfg.width)
+        mapper = SyntheticMapper(train_cfg, model_cfg)
+    else:
+        from quber_tpu.data.datasets import register_standard_datasets
+
+        register_standard_datasets(args.data_root)
+        records = args.dataset
+        mapper = PerturbedPanopticMapper(train_cfg, model_cfg, is_train=True)
+
+    mesh = make_mesh()
+    print(f"mesh: {mesh}; devices: {jax.devices()}")
+    state, tx = create_train_state(model_cfg, train_cfg)
+    if args.resume:
+        restored = restore_state(os.path.join(output_dir, "ckpt"), state)
+        if restored is not None:
+            state = restored
+            print(f"resumed at step {int(state.step)}")
+    train_step = make_train_step(model_cfg, train_cfg, tx, mesh)
+    batches = batch_iterator(records, mapper, train_cfg.batch_size, seed=train_cfg.seed)
+
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    t0 = time.time()
+    start = int(state.step)
+    for it in range(start, train_cfg.max_iter):
+        batch = put_batch(next(batches), mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, batch, step_rng)
+        if (it + 1) % args.log_period == 0 or it + 1 == train_cfg.max_iter:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            rate = args.log_period / (time.time() - t0)
+            t0 = time.time()
+            print(f"iter {it + 1}/{train_cfg.max_iter} "
+                  + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+                  + f" ({rate:.2f} it/s)", flush=True)
+        if (it + 1) % train_cfg.checkpoint_period == 0 or it + 1 == train_cfg.max_iter:
+            save_state(os.path.join(output_dir, "ckpt"), state)
+            print(f"checkpoint saved at {it + 1}")
+
+
+if __name__ == "__main__":
+    main()
