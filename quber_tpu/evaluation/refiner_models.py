@@ -130,8 +130,17 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
         return IdentityRefiner()
     if name == "npy":
         return LoadNpyRefinerModel(npy_folder, dataset)
+    if name in ("cascadepsp", "cascadepsp-rgbd"):
+        from quber_tpu.models.cascadepsp import CascadePSPRefiner
+
+        return CascadePSPRefiner(params=params, dataset=dataset)
+    if name in ("sam", "hq-sam", "hq-sam-pretrained"):
+        from quber_tpu.models.sam_refiner import SAMHQRefiner
+
+        return SAMHQRefiner(params=params, dataset=dataset, hq=name != "sam")
     if name is None or name == "none":
         return None
     raise NotImplementedError(
-        f"refiner model {name}; available: maskrefiner, maskrefiner-nofilter, identity, npy"
+        f"refiner model {name}; available: maskrefiner, maskrefiner-nofilter, "
+        "identity, npy, cascadepsp, cascadepsp-rgbd, sam, hq-sam"
     )

@@ -1,0 +1,91 @@
+"""SAM / HQ-SAM refiner wrapper for the eval harness.
+
+Mirrors /root/reference/eval/refiner_model.py:554-664 (SAMRefiner,
+prompt_type='mask'): each initial mask becomes a mask prompt; the image is
+encoded ONCE and the decoder runs per prompt (vmapped), returning the HQ
+mask at the evaluation resolution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from quber_tpu.models.sam_hq import SAMHQ
+
+SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class SAMHQRefiner:
+    MAX_INSTANCES = 16
+
+    def __init__(self, params=None, dataset="OSD", img_size=1024, seed=0,
+                 embed_dim=768, depth=12, num_heads=12, hq=True):
+        self.model = SAMHQ(img_size=img_size, embed_dim=embed_dim, depth=depth,
+                           num_heads=num_heads, dtype=jnp.bfloat16)
+        self.img_size = img_size
+        self.hq = hq
+        self.dataset = dataset
+        if params is None:
+            params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, img_size, img_size, 3)),
+                jnp.zeros((1, img_size // 4, img_size // 4, 1)),
+            )
+        self.params = params
+
+        def refine(params, image, masks, valid):
+            embed, early = self.model.apply(params, image[None], method=SAMHQ.encode)
+
+            def one(mask_prompt):
+                sam_logit, hq_logit, iou = self.model.apply(
+                    params, embed, early, mask_prompt[None, ..., None],
+                    method=SAMHQ.decode,
+                )
+                logit = hq_logit if self.hq else sam_logit
+                return logit[0], iou[0]
+
+            logits, ious = jax.vmap(one)(masks)
+            return logits, ious
+
+        self._refine = jax.jit(refine)
+
+    def predict(self, rgb_path, depth_path, initial_masks, fg_mask):
+        import time
+
+        import cv2
+
+        rgb = cv2.imread(rgb_path)
+        h0, w0 = 480, 640
+        rgb = cv2.resize(rgb, (w0, h0))
+        s = self.img_size
+        img = cv2.resize(rgb[..., ::-1], (s, s)).astype(np.float32)
+        img = (img - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+
+        n = self.MAX_INSTANCES
+        q = s // 4
+        prompts = np.zeros((n, q, q), np.float32)
+        count = min(len(initial_masks), n)
+        for i in range(count):
+            m = np.asarray(initial_masks[i]).astype(np.uint8)
+            prompts[i] = cv2.resize(m, (q, q), interpolation=cv2.INTER_NEAREST) * 20.0 - 10.0
+        valid = np.zeros((n,), bool)
+        valid[:count] = True
+
+        t0 = time.time()
+        logits, ious = self._refine(
+            self.params, jnp.asarray(img), jnp.asarray(prompts), jnp.asarray(valid)
+        )
+        logits = np.asarray(logits)[:count]
+        elapsed = time.time() - t0
+
+        refined = []
+        for l in logits:
+            m = cv2.resize(l, (w0, h0)) > 0
+            if m.sum():
+                refined.append(m)
+        refined = np.asarray(refined) if refined else np.zeros((0, h0, w0), bool)
+        return refined, None, elapsed, fg_mask

@@ -1,0 +1,86 @@
+"""Shape/mechanics tests for the refiner baselines (CascadePSP, SAM-HQ) and
+the fg-segmenter training loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quber_tpu.models.cascadepsp import PSPNetRefiner, PyramidPooling
+from quber_tpu.models.sam_hq import SAMHQ, sam_hq_mask_loss
+from quber_tpu.train.fg_train import (
+    class_balanced_weights,
+    create_fg_train_state,
+    make_fg_train_step,
+    weighted_ce_loss,
+)
+
+
+def test_pyramid_pooling_shapes(rng):
+    # branch channels = features/len(bins) must satisfy the 32-group GN
+    x = jnp.asarray(rng.rand(1, 24, 24, 256).astype(np.float32))
+    m = PyramidPooling(512)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 24, 24, 256 + 512)
+
+
+def test_pspnet_refiner_forward(rng):
+    x = jnp.asarray(rng.rand(1, 64, 64, 9).astype(np.float32))
+    m = PSPNetRefiner()
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sam_hq_tiny_forward(rng):
+    # tiny ViT config to keep CPU time sane
+    model = SAMHQ(img_size=64, embed_dim=64, depth=2, num_heads=2)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    prompt = jnp.asarray(rng.rand(1, 16, 16, 1).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), img, prompt)
+    sam_logit, hq_logit, iou = model.apply(v, img, prompt)
+    # image embedding grid = 64/16 = 4 -> masks at 4x upscale = 16
+    assert sam_logit.shape == (1, 16, 16)
+    assert hq_logit.shape == (1, 16, 16)
+    assert iou.shape == (1, 2)
+    # loss sanity
+    target = jnp.asarray((rng.rand(1, 16, 16) > 0.5).astype(np.float32))
+    loss = sam_hq_mask_loss(hq_logit, target)
+    assert np.isfinite(float(loss))
+
+
+def test_class_balanced_weights():
+    labels = np.zeros((1, 4, 4), np.int32)
+    labels[0, :1] = 1  # 4 px of class 1, 12 px of class 0
+    w = np.asarray(class_balanced_weights(jnp.asarray(labels), 2))
+    # rarer class gets the larger weight; ratio = 12/4 = 3
+    assert w[0, 0, 0] == np.float32(16 / (2 * 4))
+    assert w[0, 3, 0] == np.float32(16 / (2 * 12))
+    assert w[0, 0, 0] / w[0, 3, 0] == np.float32(3.0)
+
+
+def test_fg_train_step_decreases_loss(rng):
+    from quber_tpu.models.cgnet import CGNet
+
+    model_train = CGNet(classes=2, in_channels=4, m=1, n=2, train=True)
+    state, tx = create_fg_train_state(
+        CGNet(classes=2, in_channels=4, m=1, n=2, train=False), (1, 32, 32, 4), lr=3e-3
+    )
+    step = make_fg_train_step(model_train, tx)
+    images = jnp.asarray(rng.rand(2, 32, 32, 4).astype(np.float32))
+    labels = jnp.asarray((rng.rand(2, 32, 32) > 0.7).astype(np.int32))
+    first = None
+    for _ in range(12):
+        state, metrics = step(state, images, labels)
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        if first is None:
+            first = loss
+    assert loss < first
+
+
+def test_weighted_ce_perfect_prediction():
+    labels = jnp.asarray(np.random.RandomState(0).randint(0, 2, (1, 8, 8)))
+    logits = jax.nn.one_hot(labels, 2) * 30.0
+    assert float(weighted_ce_loss(logits, labels)) < 1e-3
