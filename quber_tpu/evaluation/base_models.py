@@ -93,10 +93,19 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         return LoadNpyBaseModel(npy_folder)
     if name == "perturbed-gt":
         return PerturbedGT(dataset)
-    if name == "ucn":
+    if name in ("ucn", "ucn-zoomin"):
         from quber_tpu.models.ucn import UCNBaseModel
 
-        return UCNBaseModel(dataset=dataset)
+        return UCNBaseModel(dataset=dataset, zoom_in=name.endswith("zoomin"))
+    if name in ("msmformer", "msmformer-zoomin"):
+        from quber_tpu.models.msmformer import MSMFormerBaseModel
+
+        return MSMFormerBaseModel(dataset=dataset)
+    if name == "uoisnet3d":
+        from quber_tpu.models.uois_net import UOISNet3DBaseModel
+
+        return UOISNet3DBaseModel(dataset=dataset)
     raise NotImplementedError(
-        f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn"
+        f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn, "
+        "msmformer, uoisnet3d"
     )

@@ -99,6 +99,95 @@ def merge_seeds(seeds: jnp.ndarray, merge_threshold: float = 0.9):
     return labels, reps
 
 
+def farthest_point_seeds_euclidean(x: jnp.ndarray, num_seeds: int, first: int = 0):
+    """Euclidean farthest-point sampling. x: [N, D]."""
+
+    def body(carry, _):
+        min_d2, idx_list, i = carry
+        nxt = jnp.argmax(min_d2)
+        d2 = jnp.sum((x - x[nxt]) ** 2, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        idx_list = idx_list.at[i].set(nxt)
+        return (min_d2, idx_list, i + 1), None
+
+    init = jnp.sum((x - x[first]) ** 2, axis=-1)
+    idx0 = jnp.zeros((num_seeds,), jnp.int32).at[0].set(first)
+    (_, idx, _), _ = lax.scan(body, (init, idx0, jnp.int32(1)), None, length=num_seeds - 1)
+    return idx
+
+
+def mean_shift_euclidean(x, seeds, num_iters: int = 10, bandwidth: float = 0.05):
+    """Flat-ball mean-shift in Euclidean space (UOIS-Net-3D clusters center
+    votes xyz+offset in metric 3D space, uois/src/cluster.py flavor)."""
+    bw2 = bandwidth * bandwidth
+
+    def body(seeds, _):
+        d2 = jnp.sum((x[:, None, :] - seeds[None, :, :]) ** 2, axis=-1)  # [N, K]
+        w = (d2 < bw2).astype(x.dtype)
+        num = w.T @ x
+        cnt = jnp.sum(w, axis=0)[:, None]
+        return jnp.where(cnt > 0, num / jnp.maximum(cnt, 1.0), seeds), None
+
+    seeds, _ = lax.scan(body, seeds, None, length=num_iters)
+    return seeds
+
+
+@partial(jax.jit, static_argnames=("num_seeds", "num_iters", "min_pixels"))
+def cluster_points_euclidean(
+    points: jnp.ndarray,
+    fg_mask: jnp.ndarray,
+    num_seeds: int = 32,
+    num_iters: int = 10,
+    bandwidth: float = 0.06,
+    merge_distance: float = 0.04,
+    min_pixels: int = 256,
+):
+    """[H, W, 3] center votes + fg mask -> instance label map [H, W].
+
+    Euclidean twin of cluster_embeddings for the UOIS-Net-3D pipeline:
+    FPS seeds on foreground votes, flat-ball mean-shift, distance-based seed
+    merging, nearest-center assignment within the foreground.
+    """
+    h, w, d = points.shape
+    x = points.reshape(-1, d)
+    fg = fg_mask.reshape(-1) > 0
+
+    first = jnp.argmax(fg.astype(jnp.int32))
+    far = x + (~fg[:, None]) * 1e6  # push background out of FPS's way
+    seed_idx = farthest_point_seeds_euclidean(far, num_seeds, first=first)
+    seeds = x[seed_idx]
+
+    xin = jnp.where(fg[:, None], x, 1e6)
+    seeds = mean_shift_euclidean(xin, seeds, num_iters, bandwidth)
+
+    # merge close seeds via min-label propagation
+    k = seeds.shape[0]
+    d2 = jnp.sum((seeds[:, None] - seeds[None, :]) ** 2, axis=-1)
+    adj = d2 < merge_distance**2
+
+    def prop(labels, _):
+        lab = jnp.where(adj, labels[None, :], k)
+        return jnp.min(lab, axis=1), None
+
+    labels_k, _ = lax.scan(prop, jnp.arange(k, dtype=jnp.int32), None, length=k)
+    reps = labels_k == jnp.arange(k)
+
+    dist = jnp.sum((x[:, None] - seeds[None]) ** 2, axis=-1)
+    dist = jnp.where(reps[None, :], dist, jnp.inf)
+    best = jnp.argmin(dist, axis=1)
+    best_d = jnp.min(dist, axis=1)
+    assigned = fg & (best_d < bandwidth**2 * 4)
+    raw = jnp.where(assigned, best + 1, 0)
+    counts = jnp.bincount(raw, length=num_seeds + 1)
+    ok = (counts >= min_pixels) & (jnp.arange(num_seeds + 1) > 0)
+    new_ids = jnp.where(ok, jnp.cumsum(ok.astype(jnp.int32)), 0)
+    return {
+        "labels": new_ids[raw].reshape(h, w).astype(jnp.int32),
+        "num_instances": jnp.sum(ok.astype(jnp.int32)),
+        "seeds": seeds,
+    }
+
+
 @partial(jax.jit, static_argnames=("num_seeds", "num_iters", "min_pixels"))
 def cluster_embeddings(
     embeddings: jnp.ndarray,

@@ -1,0 +1,44 @@
+"""MSMFormer smoke tests (tiny config, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quber_tpu.models.msmformer import MSMFormer, masks_from_queries
+
+
+def test_msmformer_forward_shapes(rng):
+    model = MSMFormer(dim=64, num_queries=8, encoder_layers=1, decoder_layers=1)
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), rgb, xyz)
+    out = model.apply(v, rgb, xyz)
+    assert out["mask_logits"].shape == (1, 8, 16, 16)  # stride 4
+    assert out["objectness"].shape == (1, 8)
+    assert np.isfinite(np.asarray(out["mask_logits"])).all()
+
+
+def test_masks_from_queries():
+    q, h, w = 4, 16, 16
+    logits = np.full((q, h, w), -10.0, np.float32)
+    logits[0, :8, :] = 10.0    # query 0 claims the top half
+    logits[1, 8:, :] = 10.0    # query 1 claims the bottom half
+    logits[2, :4, :4] = 12.0   # query 2 overlaps query 0 with higher prob
+    objectness = np.asarray([5.0, 5.0, 5.0, -5.0], np.float32)  # query 3 rejected
+    labels, n = masks_from_queries(
+        jnp.asarray(logits), jnp.asarray(objectness), min_pixels=8
+    )
+    labels = np.asarray(labels)
+    assert int(n) == 3
+    # overlap resolves to the higher-probability query
+    assert labels[0, 0] == 3  # query 2 (compacted id 3)
+    assert labels[0, 8] == 1  # query 0
+    assert labels[12, 0] == 2  # query 1
+
+
+def test_masks_from_queries_rejects_all():
+    logits = np.zeros((3, 8, 8), np.float32)
+    objectness = np.full((3,), -10.0, np.float32)
+    labels, n = masks_from_queries(jnp.asarray(logits), jnp.asarray(objectness))
+    assert int(n) == 0
+    assert np.all(np.asarray(labels) == 0)
