@@ -132,6 +132,7 @@ def group_pixels(
         "top_k",
         "min_instance_area",
         "stuff_area",
+        "use_pallas",
     ),
 )
 def get_panoptic_segmentation(
@@ -144,6 +145,7 @@ def get_panoptic_segmentation(
     top_k: int = 200,
     min_instance_area: int = 512,
     stuff_area: int = 2048,
+    use_pallas: bool = False,
 ) -> dict:
     """End-to-end grouping: heatmap + offsets + fg mask -> compact label image.
 
@@ -167,7 +169,12 @@ def get_panoptic_segmentation(
     centers, cvalid = find_instance_centers(center_heatmap, threshold, nms_kernel, top_k)
     any_center = jnp.any(cvalid)
 
-    raw = group_pixels(centers, cvalid, offsets)  # [H, W] in 1..K
+    if use_pallas:
+        from quber_tpu.ops.pallas_kernels import group_pixels_pallas
+
+        raw = group_pixels_pallas(centers, cvalid, offsets)
+    else:
+        raw = group_pixels(centers, cvalid, offsets)  # [H, W] in 1..K
     ins = jnp.where(any_center, raw, 0) * fg  # 0 = no instance
 
     k = centers.shape[0]

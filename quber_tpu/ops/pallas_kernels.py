@@ -1,0 +1,81 @@
+"""Pallas TPU kernels for the grouping hot path.
+
+The Panoptic-DeepLab pixel-grouping step computes, for every pixel, the
+argmin over K candidate centers of the squared distance between
+(coord + offset) and the center (reference materializes the full [K, H*W]
+distance matrix, post_processing.py:71). The XLA fallback
+(quber_tpu.ops.grouping.group_pixels) tiles it with lax.map; this kernel
+fuses the distance computation and argmin per VMEM tile so the [T, K]
+scores never round-trip to HBM:
+
+  grid over pixel tiles; each program loads a [T] tile of shifted
+  coordinates plus the full [K]-center table (VMEM-resident, K <= 256) and
+  writes the [T] argmin ids.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# tile = (sublanes, lanes) of pixels processed per program
+TILE = 8 * 512
+
+
+def _group_kernel(cy_ref, cx_ref, pen_ref, ly_ref, lx_ref, out_ref):
+    ly = ly_ref[:]  # [TILE]
+    lx = lx_ref[:]
+    cy = cy_ref[:]  # [K]
+    cx = cx_ref[:]
+    pen = pen_ref[:]
+    # [TILE, K] distances in VMEM; K <= 256 so this is ~1 MB at TILE=4096
+    d2 = (ly[:, None] - cy[None, :]) ** 2 + (lx[:, None] - cx[None, :]) ** 2
+    out_ref[:] = jnp.argmin(d2 + pen[None, :], axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def group_pixels_pallas(
+    centers: jnp.ndarray,
+    valid: jnp.ndarray,
+    offsets: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in twin of ops.grouping.group_pixels (1-based ids, [H, W])."""
+    k = centers.shape[0]
+    h, w = offsets.shape[1], offsets.shape[2]
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ly = (ys + offsets[0]).reshape(-1)
+    lx = (xs + offsets[1]).reshape(-1)
+    n = ly.shape[0]
+    pad = (-n) % TILE
+    ly = jnp.pad(ly, (0, pad))
+    lx = jnp.pad(lx, (0, pad))
+    grid = (ly.shape[0] // TILE,)
+
+    # penalty keeps invalid centers out of the argmin; argmin-first tie-break
+    # preserves the reference's row-major preference for sorted centers
+    pen = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
+    cy = centers[:, 0].astype(jnp.float32)
+    cx = centers[:, 1].astype(jnp.float32)
+
+    ids = pl.pallas_call(
+        _group_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ly.shape[0],), jnp.int32),
+        interpret=interpret,
+    )(cy, cx, pen, ly, lx)
+    return ids[:n].reshape(h, w) + 1

@@ -1,0 +1,36 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quber_tpu.ops import encoding as E
+from quber_tpu.ops import grouping as G
+from quber_tpu.ops.pallas_kernels import group_pixels_pallas
+
+
+def test_group_pixels_pallas_matches_xla(rng, blobs):
+    h, w = 120, 160
+    masks = blobs(rng, 5, h, w)
+    enc = np.asarray(E.encode_initial_masks(jnp.asarray(masks), normalize=False))
+    heat, offsets = enc[0], enc[1:]
+    centers, valid = G.find_instance_centers(jnp.asarray(heat), 0.3, 7, 200)
+    want = np.asarray(G.group_pixels(centers, valid, jnp.asarray(offsets)))
+    got = np.asarray(
+        group_pixels_pallas(centers, valid, jnp.asarray(offsets), interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_group_pixels_pallas_odd_size(rng):
+    # non-TILE-multiple pixel count exercises the padding path
+    h, w = 33, 41
+    offsets = rng.randn(2, h, w).astype(np.float32)
+    k = 200
+    centers = np.zeros((k, 2), np.int32)
+    centers[:3] = [[5, 7], [20, 30], [30, 10]]
+    valid = np.zeros((k,), bool)
+    valid[:3] = True
+    want = np.asarray(G.group_pixels(jnp.asarray(centers), jnp.asarray(valid), jnp.asarray(offsets)))
+    got = np.asarray(group_pixels_pallas(jnp.asarray(centers), jnp.asarray(valid),
+                                         jnp.asarray(offsets), interpret=True))
+    np.testing.assert_array_equal(got, want)
