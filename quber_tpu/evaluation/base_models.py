@@ -105,7 +105,15 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 
         return UOISNet3DBaseModel(dataset=dataset)
+    if name == "uoaisnet":
+        from quber_tpu.models.uoais_net import UOAISNetBaseModel
+
+        return UOAISNetBaseModel(dataset=dataset)
+    if name == "uoaisnet-amodal":
+        from quber_tpu.models.uoais_net import UOAISNetBaseModel
+
+        return UOAISNetBaseModel(dataset=dataset, amodal=True)
     raise NotImplementedError(
         f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn, "
-        "msmformer, uoisnet3d"
+        "msmformer, uoisnet3d, uoaisnet, uoaisnet-amodal"
     )

@@ -77,6 +77,8 @@ class MaskRefinerConfig:
     min_instance_area: int = 512
     # compute
     dtype: str = "float32"
+    # None = auto (Pallas grouping kernel on TPU, XLA path elsewhere)
+    use_pallas_grouping: bool | None = None
 
     @property
     def eee_channels(self) -> int:

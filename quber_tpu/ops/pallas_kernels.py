@@ -34,8 +34,13 @@ def _group_kernel(cy_ref, cx_ref, pen_ref, ly_ref, lx_ref, out_ref):
     cx = cx_ref[:]
     pen = pen_ref[:]
     # [TILE, K] distances in VMEM; K <= 256 so this is ~1 MB at TILE=4096
-    d2 = (ly[:, None] - cy[None, :]) ** 2 + (lx[:, None] - cx[None, :]) ** 2
-    out_ref[:] = jnp.argmin(d2 + pen[None, :], axis=1).astype(jnp.int32)
+    d2 = (ly[:, None] - cy[None, :]) ** 2 + (lx[:, None] - cx[None, :]) ** 2 + pen[None, :]
+    # explicit first-index tie-break: Mosaic's argmin does not guarantee the
+    # lowest index on exact distance ties (equidistant boundary pixels)
+    k = d2.shape[1]
+    m = jnp.min(d2, axis=1, keepdims=True)
+    ks = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    out_ref[:] = jnp.min(jnp.where(d2 == m, ks, k), axis=1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -59,10 +64,16 @@ def group_pixels_pallas(
     grid = (ly.shape[0] // TILE,)
 
     # penalty keeps invalid centers out of the argmin; argmin-first tie-break
-    # preserves the reference's row-major preference for sorted centers
+    # preserves the reference's row-major preference for sorted centers.
+    # K is padded to a lane multiple (128) explicitly — Mosaic pads the
+    # trailing dimension with UNINITIALIZED lanes otherwise, which corrupts
+    # the argmin on hardware (caught on-chip; interpret mode can't see it).
+    k_pad = (-k) % 128
     pen = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
-    cy = centers[:, 0].astype(jnp.float32)
-    cx = centers[:, 1].astype(jnp.float32)
+    pen = jnp.pad(pen, (0, k_pad), constant_values=jnp.inf)
+    cy = jnp.pad(centers[:, 0].astype(jnp.float32), (0, k_pad))
+    cx = jnp.pad(centers[:, 1].astype(jnp.float32), (0, k_pad))
+    k = k + k_pad
 
     ids = pl.pallas_call(
         _group_kernel,

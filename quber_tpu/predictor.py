@@ -99,6 +99,9 @@ class MaskRefinerPredictor:
         center = out["center"][0, ..., 0]
         offsets = jnp.transpose(out["offset"][0], (2, 0, 1))
 
+        use_pallas = cfg.use_pallas_grouping
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
         pano = get_panoptic_segmentation(
             fg_bin,
             center,
@@ -109,6 +112,7 @@ class MaskRefinerPredictor:
             top_k=cfg.top_k_instances,
             min_instance_area=cfg.min_instance_area,
             stuff_area=cfg.stuff_area,
+            use_pallas=use_pallas,
         )
         result = {
             "sem_seg": fg_logit,

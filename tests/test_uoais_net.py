@@ -1,0 +1,58 @@
+"""UOAIS-Net component tests (tiny shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quber_tpu.models.uoais_net import CBAM, RGBDFPN, UOAISNet, paste_masks
+
+
+def test_cbam_shapes(rng):
+    m = CBAM()
+    x = jnp.asarray(rng.rand(1, 8, 8, 64).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape
+
+
+def test_rgbd_fpn_levels(rng):
+    m = RGBDFPN(norm="GN")
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    dep = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), rgb, dep)
+    out = m.apply(v, rgb, dep)
+    assert out["p2"].shape == (1, 16, 16, 256)
+    assert out["p3"].shape == (1, 8, 8, 256)
+    assert out["p5"].shape == (1, 4, 4, 256)
+
+
+def test_uoais_net_forward(rng):
+    m = UOAISNet(max_proposals=16, max_detections=4, norm="GN")
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    dep = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), rgb, dep)
+    out = m.apply(v, rgb, dep)
+    assert out["boxes"].shape == (4, 4)
+    assert out["visible_masks"].shape == (4, 28, 28)
+    assert out["amodal_masks"].shape == (4, 28, 28)
+    assert out["occlusion"].shape == (4,)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_paste_masks():
+    # a full-on 28x28 mask pasted into a known box covers exactly that box
+    logits = np.full((1, 28, 28), 10.0, np.float32)
+    boxes = np.asarray([[8.0, 4.0, 24.0, 20.0]], np.float32)
+    valid = np.asarray([True])
+    out = np.asarray(paste_masks(jnp.asarray(logits), jnp.asarray(boxes),
+                                 jnp.asarray(valid), 32, 32))
+    assert out.shape == (1, 32, 32)
+    assert out[0, 12, 16]  # inside
+    assert not out[0, 2, 2]  # outside
+    ys, xs = np.nonzero(out[0])
+    assert ys.min() == 4 and ys.max() == 19
+    assert xs.min() == 8 and xs.max() == 23
+    # invalid detection pastes nothing
+    out2 = np.asarray(paste_masks(jnp.asarray(logits), jnp.asarray(boxes),
+                                  jnp.asarray([False]), 32, 32))
+    assert not out2.any()
