@@ -118,25 +118,39 @@ class MaskRefiner(nn.Module):
     def __call__(self, images, offset_enc=None, full_res=True):
         cfg = self.config
         dtype = cfg.compute_dtype
-        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
-        std = jnp.asarray(cfg.pixel_std, jnp.float32)
+        c = images.shape[-1]
+        mean = jnp.asarray(cfg.pixel_mean[:c], jnp.float32)
+        std = jnp.asarray(cfg.pixel_std[:c], jnp.float32)
         x = (images.astype(jnp.float32) - mean) / std
         if cfg.offset_input_on:
             assert offset_enc is not None
             x = jnp.concatenate([x, offset_enc.astype(jnp.float32)], axis=-1)
         x = x.astype(dtype)
 
-        features = RGBDFusionBackbone(
-            fusion_strategy=cfg.fusion_strategy,
-            num_fusion_layers=cfg.num_backbone_fusion_layers,
-            depth=cfg.resnet_depth,
-            out_features=tuple(cfg.in_features),
-            norm=cfg.backbone_norm,
-            offset_input=cfg.offset_input_on,
-            train=self.train,
-            dtype=dtype,
-            name="backbone",
-        )(x)
+        if cfg.rgb_on and cfg.depth_on:
+            features = RGBDFusionBackbone(
+                fusion_strategy=cfg.fusion_strategy,
+                num_fusion_layers=cfg.num_backbone_fusion_layers,
+                depth=cfg.resnet_depth,
+                out_features=tuple(cfg.in_features),
+                norm=cfg.backbone_norm,
+                offset_input=cfg.offset_input_on,
+                train=self.train,
+                dtype=dtype,
+                name="backbone",
+            )(x)
+        else:
+            # single-modality ablations (rgb-only / depth-only)
+            from quber_tpu.models.resnet import SingleTrunkBackbone
+
+            features = SingleTrunkBackbone(
+                depth=cfg.resnet_depth,
+                out_features=tuple(cfg.in_features),
+                norm=cfg.backbone_norm,
+                train=self.train,
+                dtype=dtype,
+                name="backbone",
+            )(x)
 
         outputs = InsEmbedHead(
             in_features=tuple(cfg.in_features),

@@ -145,6 +145,25 @@ class ResNetTrunk(nn.Module):
         return outputs
 
 
+class SingleTrunkBackbone(nn.Module):
+    """Single-modality backbone (the reference's rgb-only / depth-only
+    ablations use build_resnet_deeplab_fusion_backbone directly,
+    resnet.py:358-449 + mask-refiner-rgb-only.yaml)."""
+
+    depth: int = 50
+    out_features: Sequence[str] = ("res2", "res3", "res5")
+    norm: str = "FrozenBN"
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return ResNetTrunk(
+            depth=self.depth, out_features=self.out_features, norm=self.norm,
+            train=self.train, dtype=self.dtype, name="trunk",
+        )(x)
+
+
 class RGBDFusionBackbone(nn.Module):
     """Dual-trunk RGB-D backbone with per-stage fusion (resnet.py:453-519).
 

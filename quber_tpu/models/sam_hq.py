@@ -145,6 +145,28 @@ class MaskPromptEncoder(nn.Module):
         return nn.Conv(self.embed_dim, (1, 1), dtype=d, name="proj")(x).astype(jnp.float32)
 
 
+class PointPromptEncoder(nn.Module):
+    """Sparse point prompts -> tokens (prompt_encoder.py point path):
+    random-Fourier positional encoding of normalized coords + a learned
+    label embedding (1 = foreground point, 0 = background point)."""
+
+    embed_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, labels):
+        """points [P, 2] normalized (x, y) in [0,1]; labels [P] int."""
+        gauss = self.param(
+            "pe_gaussian", nn.initializers.normal(1.0), (2, self.embed_dim // 2)
+        )
+        proj = (2.0 * points - 1.0) @ gauss * (2 * np.pi)
+        pe = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        label_embed = self.param(
+            "label_embed", nn.initializers.normal(0.02), (2, self.embed_dim)
+        )
+        return (pe + label_embed[labels]).astype(self.dtype)
+
+
 class TwoWayBlock(nn.Module):
     dim: int = 256
     num_heads: int = 8
@@ -179,7 +201,7 @@ class HQMaskDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image_embed, prompt_embed, early_feat):
+    def __call__(self, image_embed, prompt_embed, early_feat, point_tokens=None):
         d = self.dtype
         b, h, w, c = image_embed.shape
         src = (image_embed + prompt_embed).reshape(b, h * w, c).astype(d)
@@ -192,6 +214,8 @@ class HQMaskDecoder(nn.Module):
             jnp.tile(mask_token, (b, 1, 1)),
             jnp.tile(hq_token, (b, 1, 1)),
         ], axis=1).astype(d)
+        if point_tokens is not None:
+            tokens = jnp.concatenate([tokens, point_tokens.astype(d)], axis=1)
 
         q, k = tokens, src
         for i in range(self.depth):
@@ -242,6 +266,7 @@ class SAMHQ(nn.Module):
             num_heads=self.num_heads, dtype=self.dtype,
         )
         self.prompt = MaskPromptEncoder(dtype=self.dtype)
+        self.point_prompt = PointPromptEncoder(dtype=self.dtype)
         self.decoder = HQMaskDecoder(dtype=self.dtype)
 
     def encode(self, image):
@@ -251,9 +276,34 @@ class SAMHQ(nn.Module):
         prompt = self.prompt(mask_prompt)
         return self.decoder(image_embed, prompt, early_feat)
 
+    def decode_points(self, image_embed, early_feat, points, labels):
+        """Point-prompted decode: points [B, P, 2] normalized, labels [B, P]."""
+        tokens = jax.vmap(self.point_prompt)(points, labels)
+        dense = jnp.zeros_like(image_embed)
+        return self.decoder(image_embed, dense, early_feat, point_tokens=tokens)
+
     def __call__(self, image, mask_prompt):
         image_embed, early = self.encode(image)
         return self.decode(image_embed, early, mask_prompt)
+
+
+def init_sam_variables(model: SAMHQ, rng) -> dict:
+    """Initialize ALL params (mask-prompt AND point-prompt decode paths) —
+    plain model.init(__call__) only creates the mask path's params."""
+    import flax.linen as fnn
+
+    s = model.img_size
+    img = jnp.zeros((1, s, s, 3))
+    mask_prompt = jnp.zeros((1, s // 4, s // 4, 1))
+    pts = jnp.zeros((1, 1, 2))
+    labels = jnp.zeros((1, 1), jnp.int32)
+
+    def both(mdl):
+        embed, early = mdl.encode(img)
+        mdl.decode(embed, early, mask_prompt)
+        return mdl.decode_points(embed, early, pts, labels)
+
+    return fnn.init(both, model)(rng)
 
 
 def sam_hq_mask_loss(hq_logit, target, focal_weight=20.0, dice_weight=1.0):

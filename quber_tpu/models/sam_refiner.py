@@ -19,6 +19,93 @@ SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
+class SAMAutomaticBaseModel:
+    """SAM automatic mask generation as a base segmenter.
+
+    Mirrors the reference's SAM wrapper (eval/base_model.py:224-276,
+    SamAutomaticMaskGenerator): a regular grid of foreground point prompts,
+    one decode per point (vmapped into a single program), masks thresholded
+    by predicted IoU and deduplicated with mask NMS (IoU > 0.7 suppressed).
+    """
+
+    def __init__(self, params=None, dataset="OSD", img_size=512, grid=8,
+                 seed=0, embed_dim=256, depth=4, num_heads=4,
+                 iou_threshold=0.5, dedup_iou=0.7):
+        from quber_tpu.models.sam_hq import SAMHQ
+
+        self.model = SAMHQ(img_size=img_size, embed_dim=embed_dim, depth=depth,
+                           num_heads=num_heads, dtype=jnp.bfloat16)
+        self.img_size = img_size
+        self.grid = grid
+        self.dataset = dataset
+        self.iou_threshold = iou_threshold
+        self.dedup_iou = dedup_iou
+        if params is None:
+            from quber_tpu.models.sam_hq import init_sam_variables
+
+            params = jax.jit(lambda rng: init_sam_variables(self.model, rng))(
+                jax.random.PRNGKey(seed)
+            )
+        self.params = params
+
+        g = grid
+        coords = (np.stack(np.meshgrid(np.arange(g), np.arange(g)), -1)
+                  .reshape(-1, 2).astype(np.float32) + 0.5) / g  # (x, y)
+        self._points = jnp.asarray(coords)
+
+        from quber_tpu.models.sam_hq import SAMHQ as _S
+
+        def generate(params, image):
+            embed, early = self.model.apply(params, image[None], method=_S.encode)
+
+            def one(pt):
+                sam_logit, hq_logit, iou = self.model.apply(
+                    params, embed, early, pt[None, None, :],
+                    jnp.ones((1, 1), jnp.int32), method=_S.decode_points,
+                )
+                return hq_logit[0], iou[0, 1]
+
+            logits, ious = jax.vmap(one)(self._points)
+            return logits, ious
+
+        self._generate = jax.jit(generate)
+
+    def predict(self, rgb_path, depth_path):
+        import time
+
+        import cv2
+
+        rgb = cv2.imread(rgb_path)
+        h0, w0 = 480, 640
+        rgb = cv2.resize(rgb, (w0, h0))
+        s = self.img_size
+        img = (cv2.resize(rgb[..., ::-1], (s, s)).astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+
+        t0 = time.time()
+        logits, ious = self._generate(self.params, jnp.asarray(img))
+        logits, ious = np.asarray(logits), np.asarray(ious)
+        elapsed = time.time() - t0
+
+        masks = []
+        for l, s_iou in sorted(zip(logits, ious), key=lambda t: -t[1]):
+            if s_iou < self.iou_threshold:
+                continue
+            m = cv2.resize(l, (w0, h0)) > 0
+            if m.sum() < 256:
+                continue
+            dup = False
+            for kept in masks:
+                inter = np.logical_and(m, kept).sum()
+                union = np.logical_or(m, kept).sum()
+                if inter / max(union, 1) > self.dedup_iou:
+                    dup = True
+                    break
+            if not dup:
+                masks.append(m)
+        masks = np.asarray(masks) if masks else np.zeros((0, h0, w0), bool)
+        return masks, None, elapsed
+
+
 class SAMHQRefiner:
     MAX_INSTANCES = 16
 

@@ -167,7 +167,6 @@ def get_panoptic_segmentation(
         foreground_prob = foreground.astype(jnp.float32)
 
     centers, cvalid = find_instance_centers(center_heatmap, threshold, nms_kernel, top_k)
-    any_center = jnp.any(cvalid)
 
     if use_pallas:
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas
@@ -175,9 +174,36 @@ def get_panoptic_segmentation(
         raw = group_pixels_pallas(centers, cvalid, offsets)
     else:
         raw = group_pixels(centers, cvalid, offsets)  # [H, W] in 1..K
+
+    out = merge_and_score(
+        fg, foreground_prob, center_heatmap, raw, cvalid,
+        min_instance_area=min_instance_area, stuff_area=stuff_area,
+    )
+    out["centers"] = centers
+    out["centers_valid"] = cvalid
+    return out
+
+
+def merge_and_score(
+    fg: jnp.ndarray,
+    foreground_prob: jnp.ndarray,
+    center_heatmap: jnp.ndarray,
+    raw: jnp.ndarray,
+    cvalid: jnp.ndarray,
+    min_instance_area: int = 512,
+    stuff_area: int = 2048,
+) -> dict:
+    """Area cull + id compaction + stuff blob + confidence scores.
+
+    fg [H, W] int {0,1}; raw [H, W] 1-based grouped ids; cvalid [K] bool.
+    Split out of get_panoptic_segmentation so batched pipelines can compose
+    vmapped pre/post stages around a natively-batched grouping kernel.
+    """
+    h, w = fg.shape
+    k = cvalid.shape[0]
+    any_center = jnp.any(cvalid)
     ins = jnp.where(any_center, raw, 0) * fg  # 0 = no instance
 
-    k = centers.shape[0]
     areas = jnp.bincount(ins.reshape(-1), length=k + 1)
     inst_ok = (areas >= min_instance_area) & (jnp.arange(k + 1) > 0)
     new_ids = jnp.where(inst_ok, jnp.cumsum(inst_ok.astype(jnp.int32)), 0)
@@ -214,8 +240,6 @@ def get_panoptic_segmentation(
         "num_instances": num_total,
         "scores": scores.astype(jnp.float32),
         "areas": jnp.bincount(flat, length=m).astype(jnp.int32),
-        "centers": centers,
-        "centers_valid": cvalid,
     }
 
 

@@ -90,3 +90,68 @@ def group_pixels_pallas(
         interpret=interpret,
     )(cy, cx, pen, ly, lx)
     return ids[:n].reshape(h, w) + 1
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def group_pixels_pallas_batched(
+    centers: jnp.ndarray,
+    valid: jnp.ndarray,
+    offsets: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched variant: centers [B, K, 2], valid [B, K], offsets [B, 2, H, W]
+    -> ids [B, H, W]. Everything is flattened to 1-D blocks (Pallas vmap of
+    the single-image kernel produces unsupported squeezed block shapes);
+    each tile program selects its batch's center table via the index map.
+    """
+    b, k, _ = centers.shape
+    h, w = offsets.shape[2], offsets.shape[3]
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ly = (ys[None] + offsets[:, 0]).reshape(b, -1)
+    lx = (xs[None] + offsets[:, 1]).reshape(b, -1)
+    n = h * w
+    pad = (-n) % TILE
+    ly = jnp.pad(ly, ((0, 0), (0, pad))).reshape(-1)
+    lx = jnp.pad(lx, ((0, 0), (0, pad))).reshape(-1)
+    tiles_per_batch = (n + pad) // TILE
+
+    # center tables as [B, 8, K] so blocks are (1, 8, K) — flat [B*K] blocks
+    # hit an XLA/Mosaic layout-tiling conflict (T(1024) vs T(256))
+    k_pad = (-k) % 128
+    pen = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
+    pen = jnp.pad(pen, ((0, 0), (0, k_pad)), constant_values=jnp.inf)
+    cy = jnp.pad(centers[..., 0].astype(jnp.float32), ((0, 0), (0, k_pad)))
+    cx = jnp.pad(centers[..., 1].astype(jnp.float32), ((0, 0), (0, k_pad)))
+    kk = k + k_pad
+    to3d = lambda x: jnp.broadcast_to(x[:, None, :], (b, 8, kk))
+    cy3, cx3, pen3 = to3d(cy), to3d(cx), to3d(pen)
+
+    def kernel(cy_ref, cx_ref, pen_ref, ly_ref, lx_ref, out_ref):
+        ly = ly_ref[:]
+        lx = lx_ref[:]
+        cyk = cy_ref[0, 0, :]
+        cxk = cx_ref[0, 0, :]
+        penk = pen_ref[0, 0, :]
+        d2 = (ly[:, None] - cyk[None, :]) ** 2 + (lx[:, None] - cxk[None, :]) ** 2 + penk[None, :]
+        kdim = d2.shape[1]
+        m = jnp.min(d2, axis=1, keepdims=True)
+        ks = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        out_ref[:] = jnp.min(jnp.where(d2 == m, ks, kdim), axis=1).astype(jnp.int32)
+
+    tpb = tiles_per_batch
+    ids = pl.pallas_call(
+        kernel,
+        grid=(b * tpb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, kk), lambda i: (i // tpb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, kk), lambda i: (i // tpb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, kk), lambda i: (i // tpb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ly.shape[0],), jnp.int32),
+        interpret=interpret,
+    )(cy3, cx3, pen3, ly, lx)
+    return ids.reshape(b, n + pad)[:, :n].reshape(b, h, w) + 1

@@ -74,9 +74,7 @@ class MaskRefinerPredictor:
         self.params = params
         self._pipeline = jax.jit(self._pipeline_impl)
         self._pipeline_packed = jax.jit(self._pipeline_packed_impl)
-        self._pipeline_packed_batch = jax.jit(
-            jax.vmap(self._pipeline_packed_impl, in_axes=(None, 0))
-        )
+        self._pipeline_packed_batch = jax.jit(self._pipeline_packed_batch_impl)
         # packed-buffer layout (see _pack_inputs): image u8 + bitpacked masks
         cfg = self.config
         h, w, n = cfg.height, cfg.width, max_instances
@@ -86,8 +84,16 @@ class MaskRefinerPredictor:
         self._in_bytes = self._img_bytes + self._mask_bytes + self._valid_bytes
         self._scores_len = cfg.top_k_instances + 2
 
-    def _pipeline_impl(self, params, image, masks, valid):
-        """image [H, W, 6] f32, masks [N, H, W] bool, valid [N] bool."""
+    def _use_pallas(self):
+        use_pallas = self.config.use_pallas_grouping
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
+        return use_pallas
+
+    def _pre_impl(self, params, image, masks, valid):
+        """Everything before pixel grouping: encode -> forward -> center NMS."""
+        from quber_tpu.ops.grouping import find_instance_centers
+
         cfg = self.config
         enc = encode_initial_masks(masks, valid, sigma=10, normalize=True)
         offset_enc = jnp.transpose(enc, (1, 2, 0))[None]
@@ -95,38 +101,61 @@ class MaskRefinerPredictor:
 
         fg_logit = out["foreground"][0, ..., 0]
         fg_prob = jax.nn.sigmoid(fg_logit)
-        fg_bin = jnp.round(fg_prob)
         center = out["center"][0, ..., 0]
         offsets = jnp.transpose(out["offset"][0], (2, 0, 1))
-
-        use_pallas = cfg.use_pallas_grouping
-        if use_pallas is None:
-            use_pallas = jax.default_backend() != "cpu"
-        pano = get_panoptic_segmentation(
-            fg_bin,
-            center,
-            offsets,
-            foreground_prob=fg_prob,
-            threshold=cfg.center_threshold,
-            nms_kernel=cfg.nms_kernel,
-            top_k=cfg.top_k_instances,
-            min_instance_area=cfg.min_instance_area,
-            stuff_area=cfg.stuff_area,
-            use_pallas=use_pallas,
+        centers, cvalid = find_instance_centers(
+            center, cfg.center_threshold, cfg.nms_kernel, cfg.top_k_instances
         )
-        result = {
+        pre = {
             "sem_seg": fg_logit,
+            "fg_prob": fg_prob,
+            "fg_bin": jnp.round(fg_prob).astype(jnp.int32),
             "center": center,
             "offset": offsets,
+            "centers": centers,
+            "centers_valid": cvalid,
+        }
+        if cfg.eee_mask_on:
+            pre["eee_mask"] = jnp.transpose(out["eee_mask"][0], (2, 0, 1))
+        if cfg.eee_boundary_on:
+            pre["eee_boundary"] = jnp.transpose(out["eee_boundary"][0], (2, 0, 1))
+        return pre
+
+    def _post_impl(self, pre, raw):
+        from quber_tpu.ops.grouping import merge_and_score
+
+        cfg = self.config
+        pano = merge_and_score(
+            pre["fg_bin"], pre["fg_prob"], pre["center"], raw,
+            pre["centers_valid"], min_instance_area=cfg.min_instance_area,
+            stuff_area=cfg.stuff_area,
+        )
+        result = {
+            "sem_seg": pre["sem_seg"],
+            "center": pre["center"],
+            "offset": pre["offset"],
             "panoptic_seg": pano["panoptic"],
             "num_instances": pano["num_instances"],
             "instance_scores": pano["scores"],
         }
-        if cfg.eee_mask_on:
-            result["eee_mask"] = jnp.transpose(out["eee_mask"][0], (2, 0, 1))
-        if cfg.eee_boundary_on:
-            result["eee_boundary"] = jnp.transpose(out["eee_boundary"][0], (2, 0, 1))
+        for k in ("eee_mask", "eee_boundary"):
+            if k in pre:
+                result[k] = pre[k]
         return result
+
+    def _group(self, centers, cvalid, offsets):
+        from quber_tpu.ops.grouping import group_pixels
+        from quber_tpu.ops.pallas_kernels import group_pixels_pallas
+
+        if self._use_pallas():
+            return group_pixels_pallas(centers, cvalid, offsets)
+        return group_pixels(centers, cvalid, offsets)
+
+    def _pipeline_impl(self, params, image, masks, valid):
+        """image [H, W, 6] f32, masks [N, H, W] bool, valid [N] bool."""
+        pre = self._pre_impl(params, image, masks, valid)
+        raw = self._group(pre["centers"], pre["centers_valid"], pre["offset"])
+        return self._post_impl(pre, raw)
 
     # ------------------------------------------------------------------
     # Packed transfer path.
@@ -160,21 +189,51 @@ class MaskRefinerPredictor:
         buf[self._img_bytes + self._mask_bytes :] = np.packbits(valid)
         return buf
 
-    def _pipeline_packed_impl(self, params, buf):
+    def _unpack_buf(self, buf):
         cfg = self.config
         h, w, n = cfg.height, cfg.width, self.max_instances
         image = buf[: self._img_bytes].reshape(h, w, 6).astype(jnp.float32)
         packed = buf[self._img_bytes : self._img_bytes + self._mask_bytes]
         masks = unpack_bits_device(packed.reshape(n, h * w // 8), h * w).reshape(n, h, w)
         valid = unpack_bits_device(buf[self._img_bytes + self._mask_bytes :], n)
-        out = self._pipeline_impl(params, image, masks, valid)
-        # pack outputs: panoptic u8 | num_instances u8 | scores f32 bitcast
+        return image, masks, valid
+
+    def _pack_out(self, out):
+        """panoptic u8 | num_instances u8 | scores f32 bitcast -> one buffer."""
         pan = out["panoptic_seg"].astype(jnp.uint8).reshape(-1)
         cnt = out["num_instances"].astype(jnp.uint8).reshape(1)
         scores = jax.lax.bitcast_convert_type(
             out["instance_scores"], jnp.uint8
         ).reshape(-1)
         return jnp.concatenate([pan, cnt, scores])
+
+    def _pipeline_packed_impl(self, params, buf):
+        image, masks, valid = self._unpack_buf(buf)
+        out = self._pipeline_impl(params, image, masks, valid)
+        return self._pack_out(out)
+
+    def _pipeline_packed_batch_impl(self, params, bufs):
+        """Batched packed pipeline: vmapped pre/post stages around the
+        natively-batched Pallas grouping kernel (a straight vmap of the
+        single-frame pipeline produces unsupported Pallas block shapes)."""
+        from quber_tpu.ops.grouping import group_pixels
+        from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
+
+        def pre_fn(buf):
+            image, masks, valid = self._unpack_buf(buf)
+            return self._pre_impl(params, image, masks, valid)
+
+        pre = jax.vmap(pre_fn)(bufs)
+        if self._use_pallas():
+            raw = group_pixels_pallas_batched(
+                pre["centers"], pre["centers_valid"], pre["offset"]
+            )
+        else:
+            raw = jax.vmap(group_pixels)(
+                pre["centers"], pre["centers_valid"], pre["offset"]
+            )
+        outs = jax.vmap(self._post_impl)(pre, raw)
+        return jax.vmap(self._pack_out)(outs)
 
     def _unpack_outputs(self, buf: np.ndarray):
         cfg = self.config

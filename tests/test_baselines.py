@@ -84,3 +84,22 @@ def test_weighted_ce_perfect_prediction():
     labels = jnp.asarray(np.random.RandomState(0).randint(0, 2, (1, 8, 8)))
     logits = jax.nn.one_hot(labels, 2) * 30.0
     assert float(weighted_ce_loss(logits, labels)) < 1e-3
+
+
+def test_sam_point_prompts(rng):
+    from quber_tpu.models.sam_hq import SAMHQ, init_sam_variables
+
+    model = SAMHQ(img_size=64, embed_dim=64, depth=2, num_heads=2)
+    v = init_sam_variables(model, jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    embed, early = model.apply(v, img, method=SAMHQ.encode)
+    pts = jnp.asarray(rng.rand(1, 2, 2).astype(np.float32))
+    labels = jnp.ones((1, 2), jnp.int32)
+    sam_logit, hq_logit, iou = model.apply(
+        v, embed, early, pts, labels, method=SAMHQ.decode_points)
+    assert hq_logit.shape == (1, 16, 16)
+    assert np.isfinite(np.asarray(hq_logit)).all()
+    # mask-prompt path still works with the same variables
+    prompt = jnp.zeros((1, 16, 16, 1))
+    sam2, hq2, iou2 = model.apply(v, embed, early, prompt, method=SAMHQ.decode)
+    assert hq2.shape == (1, 16, 16)

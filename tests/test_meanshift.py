@@ -111,3 +111,20 @@ def test_ucn_net_shapes(rng):
     assert emb.shape == (1, 64, 64, 16)
     norms = np.linalg.norm(np.asarray(emb), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_instance_boxes_from_labels():
+    from quber_tpu.models.ucn import instance_boxes_from_labels
+
+    labels = np.zeros((64, 64), np.int32)
+    labels[10:30, 12:36] = 1
+    labels[40:60, 40:60] = 2
+    boxes, valid = instance_boxes_from_labels(jnp.asarray(labels), 4)
+    boxes, valid = np.asarray(boxes), np.asarray(valid)
+    assert valid.tolist() == [True, True, False, False]
+    # expanded square boxes contain the instances
+    assert boxes[0][0] <= 12 and boxes[0][1] <= 10
+    assert boxes[0][2] >= 35 and boxes[0][3] >= 29
+    assert boxes[1][0] <= 40 and boxes[1][2] >= 59
+    # invalid slots are zeroed
+    np.testing.assert_array_equal(boxes[2:], 0)

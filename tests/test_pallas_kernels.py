@@ -34,3 +34,24 @@ def test_group_pixels_pallas_odd_size(rng):
     got = np.asarray(group_pixels_pallas(jnp.asarray(centers), jnp.asarray(valid),
                                          jnp.asarray(offsets), interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_group_pixels_pallas_batched_matches_single(rng, blobs):
+    from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
+
+    h, w, b = 64, 128, 3
+    all_centers, all_valid, all_offsets, singles = [], [], [], []
+    for i in range(b):
+        masks = blobs(rng, 3, h, w, min_r=8, max_r=16)
+        enc = np.asarray(E.encode_initial_masks(jnp.asarray(masks), normalize=False))
+        centers, valid = G.find_instance_centers(jnp.asarray(enc[0]), 0.3, 7, 200)
+        all_centers.append(np.asarray(centers))
+        all_valid.append(np.asarray(valid))
+        all_offsets.append(enc[1:])
+        singles.append(np.asarray(G.group_pixels(centers, valid, jnp.asarray(enc[1:]))))
+    got = np.asarray(group_pixels_pallas_batched(
+        jnp.asarray(np.stack(all_centers)), jnp.asarray(np.stack(all_valid)),
+        jnp.asarray(np.stack(all_offsets)), interpret=True,
+    ))
+    for i in range(b):
+        np.testing.assert_array_equal(got[i], singles[i])
