@@ -26,7 +26,9 @@ def main():
     from quber_tpu.predictor import MaskRefinerPredictor
 
     cfg = MaskRefinerConfig(dtype="bfloat16")
-    predictor = MaskRefinerPredictor(cfg, max_instances=64)
+    # 24 instance slots cover the benchmark datasets (OCID maxes ~20
+    # objects) at 2.6x less mask-transfer volume than the default 64
+    predictor = MaskRefinerPredictor(cfg, max_instances=24)
 
     # OCID-like synthetic scene: 8 instances on a 480x640 RGB-D frame
     rng = np.random.RandomState(7)
@@ -40,10 +42,11 @@ def main():
     rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
     depth = (rng.rand(h, w, 3) * 255).astype(np.uint8)
 
-    # warmup: compile + first (slow) D2H through the transport
+    # warmup: compile BOTH pipelines + first (slow) D2H through the transport
     pan, count, scores = predictor.predict_packed(rgb, depth, masks)
     # params are random (perf is weight-independent); check shape sanity only
-    assert pan.shape == (h, w) and 0 <= count <= 64, (pan.shape, count)
+    assert pan.shape == (h, w) and 0 <= count <= 24, (pan.shape, count)
+    predictor.predict_batch([(rgb, depth, masks)] * 8)
 
     # timed: batched streaming refine (device batches of 8 with double
     # buffering: input packing + H2D + encode/forward/group on device + D2H

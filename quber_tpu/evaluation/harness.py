@@ -132,6 +132,14 @@ def run_eval(
     avg_ms = 1000 * float(np.mean(timing)) if timing else 0.0
     std_ms = 1000 * float(np.std(timing)) if timing else 0.0
     print(f"Average refine time: {avg_ms:.2f} ms (std {std_ms:.2f})")
+    # timing artifact (the reference writes time_npy_OCID.json-style files)
+    try:
+        import json
+
+        with open(f"time_{test_dataset}.json", "w") as f:
+            json.dump({"average": avg_ms / 1000, "std": std_ms / 1000}, f)
+    except OSError:
+        pass
 
     results = {}
     for tag, metrics_all in [("initial", initial_metrics_all), ("refined", refined_metrics_all)]:

@@ -59,12 +59,13 @@ def _gaussian_paint(cy, cx, h, w, sigma):
     return jnp.where(window, g, 0.0)
 
 
-@partial(jax.jit, static_argnames=("sigma", "normalize"))
+@partial(jax.jit, static_argnames=("sigma", "normalize", "chunk"))
 def encode_initial_masks(
     masks: jnp.ndarray,
     valid: jnp.ndarray | None = None,
     sigma: int = 10,
     normalize: bool = True,
+    chunk: int = 16384,
 ) -> jnp.ndarray:
     """Initial-prediction offset encoding: [N, H, W] masks -> [3, H, W].
 
@@ -73,6 +74,18 @@ def encode_initial_masks(
     `normalize` (the inference-input convention, predictor.py:311-357 /
     target_generator.py:268-274). Unnormalized gives the training target
     offsets (target_generator.py:144-146).
+
+    Fully vectorized (no per-instance scan — a 64-step scan over full
+    [H, W] maps cost ~66 ms/frame on a v5e):
+      * heatmap: since exp(-d^2 / 2 sigma^2) is monotone in d^2, the max
+        over per-instance windowed Gaussians equals the Gaussian of the
+        min over instances of d^2 (d^2 := +inf outside the instance's
+        paint window). The min reduction runs in pixel chunks like
+        grouping.group_pixels.
+      * offsets: the reference paints instances sequentially so overlaps
+        resolve last-wins — equivalently the owner of a pixel is the
+        highest instance index whose mask covers it (one max-reduce over
+        the mask stack) and offsets are gathered from its centroid.
     """
     n, h, w = masks.shape
     if valid is None:
@@ -81,31 +94,49 @@ def encode_initial_masks(
         valid = valid & (jnp.sum(masks.astype(jnp.float32), axis=(1, 2)) > 0)
 
     areas, centers = instance_stats(masks, valid)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ry = jnp.round(centers[:, 0])
+    rx = jnp.round(centers[:, 1])
+    lim = float(3 * sigma + 1)
+
+    # --- heatmap: chunked min over instances of window-clipped d^2 ---
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    npix = h * w
+    pad = (-npix) % chunk
+    ysp = jnp.pad(ys, (0, pad))
+    xsp = jnp.pad(xs, (0, pad))
+    inf_pen = jnp.where(valid, 0.0, jnp.inf)
+
+    def min_d2(args):
+        py, px = args  # [chunk]
+        dy = py[:, None] - ry[None, :]
+        dx = px[:, None] - rx[None, :]
+        d2 = dy * dy + dx * dx
+        outside = (jnp.abs(dy) > lim) | (jnp.abs(dx) > lim)
+        d2 = jnp.where(outside, jnp.inf, d2) + inf_pen[None, :]
+        return jnp.min(d2, axis=1)
+
+    nchunks = (npix + pad) // chunk
+    d2min = jax.lax.map(
+        min_d2, (ysp.reshape(nchunks, chunk), xsp.reshape(nchunks, chunk))
+    ).reshape(-1)[:npix]
+    center_map = jnp.where(
+        jnp.isfinite(d2min), jnp.exp(-d2min / (2.0 * sigma**2)), 0.0
+    ).reshape(h, w)
+
+    # --- offsets: last-wins owner via max over instance indices ---
+    m = masks.astype(jnp.int32) * valid.astype(jnp.int32)[:, None, None]
+    ids = jnp.arange(1, n + 1, dtype=jnp.int32)[:, None, None]
+    owner = jnp.max(m * ids, axis=0)  # [H, W], 0 = unowned
+    cy_tab = jnp.concatenate([jnp.zeros((1,)), centers[:, 0]])
+    cx_tab = jnp.concatenate([jnp.zeros((1,)), centers[:, 1]])
     sy = float(h) if normalize else 1.0
     sx = float(w) if normalize else 1.0
-
-    def body(carry, inp):
-        center_map, off_y, off_x = carry
-        mask_i, valid_i, c_i = inp
-        cy, cx = c_i[0], c_i[1]
-        ok = valid_i.astype(jnp.float32)
-        g = _gaussian_paint(cy, cx, h, w, sigma) * ok
-        center_map = jnp.maximum(center_map, g)
-        m = mask_i.astype(jnp.float32) * ok
-        off_y = jnp.where(m > 0, (cy - ys) / sy, off_y)
-        off_x = jnp.where(m > 0, (cx - xs) / sx, off_x)
-        return (center_map, off_y, off_x), None
-
-    init = (
-        jnp.zeros((h, w), jnp.float32),
-        jnp.zeros((h, w), jnp.float32),
-        jnp.zeros((h, w), jnp.float32),
-    )
-    (center_map, off_y, off_x), _ = jax.lax.scan(
-        body, init, (masks, valid, centers)
-    )
+    ys2 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs2 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    owned = owner > 0
+    off_y = jnp.where(owned, (cy_tab[owner] - ys2) / sy, 0.0)
+    off_x = jnp.where(owned, (cx_tab[owner] - xs2) / sx, 0.0)
     return jnp.stack([center_map, off_y, off_x], axis=0)
 
 

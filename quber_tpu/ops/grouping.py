@@ -184,6 +184,33 @@ def get_panoptic_segmentation(
     return out
 
 
+def segment_stats(ids: jnp.ndarray, weights: jnp.ndarray, num_ids: int,
+                  chunk: int = 16384) -> jnp.ndarray:
+    """Per-id weighted sums via chunked one-hot matmuls on the MXU.
+
+    ids [N] int32 in [0, num_ids); weights [N, C] float32. Returns
+    [num_ids, C]. Replaces a series of jnp.bincount scatters (slow,
+    serialized on TPU) with [chunk, num_ids]^T @ [chunk, C] accumulation.
+    """
+    n, c = weights.shape
+    pad = (-n) % chunk
+    ids_p = jnp.pad(ids, (0, pad), constant_values=num_ids - 1)
+    w_p = jnp.pad(weights, ((0, pad), (0, 0)))  # zero weights: padding inert
+    nchunks = (n + pad) // chunk
+
+    def body(acc, args):
+        cid, cw = args
+        onehot = jax.nn.one_hot(cid, num_ids, dtype=jnp.float32)  # [chunk, M]
+        return acc + jnp.dot(onehot.T, cw, precision=lax.Precision.HIGHEST), None
+
+    acc, _ = lax.scan(
+        body,
+        jnp.zeros((num_ids, c), jnp.float32),
+        (ids_p.reshape(nchunks, chunk), w_p.reshape(nchunks, chunk, c)),
+    )
+    return acc
+
+
 def merge_and_score(
     fg: jnp.ndarray,
     foreground_prob: jnp.ndarray,
@@ -198,40 +225,62 @@ def merge_and_score(
     fg [H, W] int {0,1}; raw [H, W] 1-based grouped ids; cvalid [K] bool.
     Split out of get_panoptic_segmentation so batched pipelines can compose
     vmapped pre/post stages around a natively-batched grouping kernel.
+
+    All per-instance statistics come from ONE chunked one-hot matmul over
+    the raw grouped ids (segment_stats) — columns: [count, fg_prob, y, x,
+    fg, fg*fg_prob, fg*y, fg*x]; the fg-gated columns of id 0 give the
+    leftover-foreground "stuff" region's statistics.
     """
     h, w = fg.shape
     k = cvalid.shape[0]
     any_center = jnp.any(cvalid)
     ins = jnp.where(any_center, raw, 0) * fg  # 0 = no instance
 
-    areas = jnp.bincount(ins.reshape(-1), length=k + 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    fgf = fg.reshape(-1).astype(jnp.float32)
+    fgp = foreground_prob.reshape(-1)
+    ones = jnp.ones_like(fgf)
+    cols = jnp.stack(
+        [ones, fgp, ys, xs, fgf, fgf * fgp, fgf * ys, fgf * xs], axis=-1
+    )
+    stats = segment_stats(ins.reshape(-1), cols, k + 1)  # [K+1, 8]
+
+    areas = stats[:, 0].astype(jnp.int32)
     inst_ok = (areas >= min_instance_area) & (jnp.arange(k + 1) > 0)
     new_ids = jnp.where(inst_ok, jnp.cumsum(inst_ok.astype(jnp.int32)), 0)
     pan = new_ids[ins]
     num_inst = jnp.sum(inst_ok.astype(jnp.int32))
 
-    # Leftover-foreground stuff blob (only non-empty when no center fired).
-    leftover = fg * (ins == 0).astype(jnp.int32)
-    stuff_ok = jnp.sum(leftover) >= stuff_area
+    # Leftover-foreground stuff blob (only non-empty when no center fired):
+    # its statistics are the fg-gated columns of raw id 0.
+    stuff_stats = stats[0, 4:]
+    stuff_ok = stuff_stats[0] >= stuff_area
     stuff_id = num_inst + 1
+    leftover = fg * (ins == 0).astype(jnp.int32)
     pan = jnp.where(stuff_ok & (leftover > 0), stuff_id, pan)
     num_total = num_inst + stuff_ok.astype(jnp.int32)
 
     # Per-instance confidence: mean fg prob over mask x heatmap at centroid
-    # (model.py:336-351; the reference truncates the float centroid with int()).
-    flat = pan.reshape(-1)
+    # (model.py:336-351; the reference truncates the float centroid with
+    # int()). Scatter per-raw-id stats into compact slots; the stuff blob's
+    # stats land in its own slot.
     m = k + 2
-    cnt = jnp.bincount(flat, length=m).astype(jnp.float32)
+    compact = jnp.zeros((m, 4), jnp.float32)
+    compact = compact.at[new_ids].add(
+        stats[:, :4] * inst_ok[:, None].astype(jnp.float32)
+    )
+    compact = compact.at[stuff_id].add(
+        stuff_stats * stuff_ok.astype(jnp.float32)
+    )
+    cnt = compact[:, 0]
     denom = jnp.maximum(cnt, 1.0)
-    sem_sum = jnp.bincount(flat, weights=foreground_prob.reshape(-1), length=m)
-    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
-    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
-    mean_y = jnp.bincount(flat, weights=ys, length=m) / denom
-    mean_x = jnp.bincount(flat, weights=xs, length=m) / denom
+    mean_y = compact[:, 2] / denom
+    mean_x = compact[:, 3] / denom
     iy = jnp.clip(mean_y.astype(jnp.int32), 0, h - 1)
     ix = jnp.clip(mean_x.astype(jnp.int32), 0, w - 1)
     center_scores = center_heatmap[iy, ix]
-    scores = (sem_sum / denom) * center_scores
+    scores = (compact[:, 1] / denom) * center_scores
     scores = jnp.where(jnp.arange(m) <= num_total, scores, 0.0)
     scores = scores.at[0].set(0.0)
 
@@ -239,7 +288,7 @@ def merge_and_score(
         "panoptic": pan.astype(jnp.int32),
         "num_instances": num_total,
         "scores": scores.astype(jnp.float32),
-        "areas": jnp.bincount(flat, length=m).astype(jnp.int32),
+        "areas": cnt.astype(jnp.int32),
     }
 
 

@@ -106,6 +106,10 @@ def main():
     parser.add_argument("--synthetic-size", type=int, default=32)
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--eval-dataset", default=None,
+                        help="run the metric harness every eval_period iters (e.g. OSD)")
+    parser.add_argument("--eval-dataset-path", default=None)
+    parser.add_argument("--eval-limit", type=int, default=20)
     args = parser.parse_args()
 
     import dataclasses
@@ -170,6 +174,22 @@ def main():
         if (it + 1) % train_cfg.checkpoint_period == 0 or it + 1 == train_cfg.max_iter:
             save_state(os.path.join(output_dir, "ckpt"), state)
             print(f"checkpoint saved at {it + 1}")
+        if args.eval_dataset and (it + 1) % train_cfg.eval_period == 0:
+            # periodic eval (the reference's COCOEvaluator hook,
+            # train_net.py:43-70): run the metric harness against the val
+            # split with the current weights
+            from quber_tpu.evaluation.harness import run_eval as _run_eval
+
+            _run_eval(
+                base_model="perturbed-gt",
+                refiner_model="maskrefiner-nofilter",
+                test_dataset=args.eval_dataset,
+                dataset_path=args.eval_dataset_path,
+                config=model_cfg,
+                params={"params": state.params, "batch_stats": state.batch_stats},
+                limit=args.eval_limit,
+                csv_path=os.path.join(output_dir, "eval.csv"),
+            )
 
 
 if __name__ == "__main__":
