@@ -134,6 +134,10 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
         from quber_tpu.models.cascadepsp import CascadePSPRefiner
 
         return CascadePSPRefiner(params=params, dataset=dataset)
+    if name == "rice":
+        from quber_tpu.models.rice import RICERefiner
+
+        return RICERefiner(params=params, dataset=dataset)
     if name in ("sam", "hq-sam", "hq-sam-pretrained"):
         from quber_tpu.models.sam_refiner import SAMHQRefiner
 
@@ -142,5 +146,5 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
         return None
     raise NotImplementedError(
         f"refiner model {name}; available: maskrefiner, maskrefiner-nofilter, "
-        "identity, npy, cascadepsp, cascadepsp-rgbd, sam, hq-sam"
+        "identity, npy, rice, cascadepsp, cascadepsp-rgbd, sam, hq-sam"
     )
