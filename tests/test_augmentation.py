@@ -1,0 +1,46 @@
+import numpy as np
+
+from quber_tpu.data import augmentation as A
+
+
+def test_chromatic_and_blur_and_noise(rng):
+    rgb = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    for fn in [A.chromatic_shift, A.gaussian_blur, A.add_gaussian_noise]:
+        out = fn(rgb, rng)
+        assert out.shape == rgb.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, rgb)
+
+
+def test_random_rotation_aligned(rng):
+    rgb = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    label = np.zeros((64, 64), np.uint8)
+    label[20:40, 20:40] = 1
+    out_rgb, out_label = A.random_rotation([rgb, label], rng, nearest=[False, True])
+    assert out_rgb.shape == rgb.shape and out_label.shape == label.shape
+    # nearest keeps the label binary
+    assert set(np.unique(out_label)) <= {0, 1}
+    # area approximately preserved under rotation
+    assert abs(int(out_label.sum()) - 400) < 120
+
+
+def test_copy_paste(rng, blobs):
+    h, w = 96, 128
+    rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    depth = rng.rand(h, w).astype(np.float32)
+    masks = blobs(rng, 2, h, w, min_r=10, max_r=20)
+    # make the originals disjoint (later blob wins), as real labels are
+    label = np.zeros((h, w), np.uint8)
+    for i, m in enumerate(masks):
+        label[m > 0] = i + 1
+    masks = np.stack([(label == i + 1).astype(np.uint8) for i in range(2)])
+    donor_rgb = np.full((h, w, 3), 200, np.uint8)
+    donor_depth = np.full((h, w), 0.5, np.float32)
+    donor_masks = blobs(rng, 2, h, w, min_r=10, max_r=20)
+    out_rgb, out_depth, out_masks = A.copy_paste(
+        rgb, depth, masks, donor_rgb, donor_depth, donor_masks, rng, max_paste=2
+    )
+    pasted = out_masks[-1].astype(bool)
+    # pasted region takes the donor appearance
+    assert (out_rgb[pasted] == 200).all()
+    # masks stay pairwise disjoint (pastes occlude what they cover)
+    assert (out_masks.astype(np.int32).sum(0) <= 1).all()

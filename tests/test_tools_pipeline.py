@@ -96,3 +96,34 @@ def test_full_data_generation_pipeline(detection_json):
     # stored EEE RLEs decode into a valid partition
     total = sample["eee_mask"].sum(-1)
     np.testing.assert_array_equal(total, np.ones_like(total))
+
+
+def test_preprocess_bop_and_tod(tmp_path, rng, blobs):
+    import cv2
+    import imageio.v2 as imageio
+
+    # BOP-style scene tree
+    scene = tmp_path / "raw" / "000001"
+    for sub in ["rgb", "depth", "mask_visib"]:
+        (scene / sub).mkdir(parents=True)
+    cv2.imwrite(str(scene / "rgb" / "000000.png"), (rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    cv2.imwrite(str(scene / "depth" / "000000.png"), rng.uniform(500, 1500, (48, 64)).astype(np.uint16))
+    for i, m in enumerate(blobs(rng, 2, 48, 64, min_r=6, max_r=12)):
+        cv2.imwrite(str(scene / "mask_visib" / f"000000_{i:06d}.png"), m * 255)
+    run_tool("preprocess_datasets.py", "hope", "--root", str(tmp_path / "raw"),
+             "--out", str(tmp_path / "flat"))
+    anno = imageio.imread(str(tmp_path / "flat" / "annotation" / "000001_000000.png"))
+    assert set(np.unique(anno)) >= {0, 1}
+
+    # TOD-style tree
+    tod = tmp_path / "tod" / "scene_0"
+    tod.mkdir(parents=True)
+    label = np.zeros((48, 64), np.uint8)
+    label[5:20, 5:20] = 2
+    label[25:40, 30:50] = 3
+    cv2.imwrite(str(tod / "segmentation_00000.png"), label)
+    run_tool("preprocess_datasets.py", "tod", "--root", str(tmp_path / "tod"),
+             "--out", str(tmp_path / "tod.json"))
+    with open(tmp_path / "tod.json") as f:
+        coco = json.load(f)
+    assert len(coco["images"]) == 1 and len(coco["annotations"]) == 2
