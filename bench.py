@@ -53,15 +53,19 @@ def main():
     # of the panoptic results). Throughput metric, matching the harness's
     # batch eval workload; per-image sync latency is bounded below by the
     # transport round-trip on tunneled TPUs.
-    iters = 64
+    # median of 3 trials: the transport to tunneled TPUs has multi-second
+    # congestion swings that would otherwise dominate the measurement
+    iters = 48
     frames = [(rgb, depth, masks)] * iters
-    t0 = time.time()
-    n_out = 0
-    for pan, count, scores in predictor.predict_batch_stream(frames, batch_size=8):
-        n_out += 1
-    dt = (time.time() - t0) / iters
-    assert n_out == iters
-    fps = 1.0 / dt
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        n_out = 0
+        for pan, count, scores in predictor.predict_batch_stream(frames, batch_size=8):
+            n_out += 1
+        assert n_out == iters
+        rates.append(iters / (time.time() - t0))
+    fps = sorted(rates)[1]
 
     print(json.dumps({
         "metric": "e2e_refine_fps_per_chip_480x640",
