@@ -77,6 +77,8 @@ class MaskRefinerConfig:
     min_instance_area: int = 512
     # compute
     dtype: str = "float32"
+    # rematerialize backbone blocks in the backward pass (training memory)
+    remat_backbone: bool = False
     # None = auto (Pallas grouping kernel on TPU, XLA path elsewhere)
     use_pallas_grouping: bool | None = None
 
@@ -135,6 +137,7 @@ class MaskRefiner(nn.Module):
                 out_features=tuple(cfg.in_features),
                 norm=cfg.backbone_norm,
                 offset_input=cfg.offset_input_on,
+                remat=cfg.remat_backbone,
                 train=self.train,
                 dtype=dtype,
                 name="backbone",

@@ -105,6 +105,7 @@ class ResNetTrunk(nn.Module):
     res5_multi_grid: Sequence[int] = (1, 2, 4)
     out_features: Sequence[str] = ("res2", "res3", "res5")
     norm: str = "FrozenBN"
+    remat: bool = False
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -113,6 +114,11 @@ class ResNetTrunk(nn.Module):
         stem_cls = DeepLabStem if self.stem_type == "deeplab" else BasicStem
         x = stem_cls(self.stem_out_channels, self.norm, self.train, self.dtype,
                      name="stem")(x)
+
+        # remat trades FLOPs for activation memory: recompute each block's
+        # activations in the backward pass instead of stashing them (the
+        # dual-trunk backbone dominates the training-time activation set)
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
 
         num_blocks = BLOCKS_PER_STAGE[self.depth]
         out_channels = self.res2_out_channels
@@ -128,7 +134,7 @@ class ResNetTrunk(nn.Module):
                     block_dilation = dilation * self.res5_multi_grid[b]
                 else:
                     block_dilation = dilation
-                x = Bottleneck(
+                x = block_cls(
                     out_channels=out_channels,
                     bottleneck_channels=bottleneck,
                     stride=first_stride if b == 0 else 1,
@@ -180,6 +186,7 @@ class RGBDFusionBackbone(nn.Module):
     out_features: Sequence[str] = ("res2", "res3", "res5")
     norm: str = "FrozenBN"
     offset_input: bool = True
+    remat: bool = False
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -194,7 +201,7 @@ class RGBDFusionBackbone(nn.Module):
 
         trunk_kwargs = dict(
             depth=self.depth, out_features=self.out_features, norm=self.norm,
-            train=self.train, dtype=self.dtype,
+            remat=self.remat, train=self.train, dtype=self.dtype,
         )
         rgb_out = ResNetTrunk(**trunk_kwargs, name="rgb_trunk")(rgb)
         depth_out = ResNetTrunk(**trunk_kwargs, name="depth_trunk")(depth)

@@ -100,6 +100,12 @@ def make_train_step(
         metrics["total_loss"] = total
         return new_state, metrics
 
+    if len(mesh.devices.reshape(-1)) == 1:
+        # single-device: plain jit. Explicit NamedShardings on a 1-device
+        # mesh force state round-trips on remote-TPU transports (measured
+        # 19.2 s/step vs 3.0 s plain at identical work) and add nothing.
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
     state_sharding = replicate(mesh)
     batch_sharding = shard_batch(mesh)
     return jax.jit(
