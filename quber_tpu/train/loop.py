@@ -39,6 +39,20 @@ def create_train_state(
     """Init params (at a small spatial size — param shapes are
     resolution-independent) and the masked optimizer."""
     rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+    if extra_freeze is None and getattr(train_cfg, "freeze_backbone_stages", 0) > 0:
+        # BACKBONE.FREEZE_AT semantics (reference resnet.py:235-254 /
+        # train_net.py:141-168): freeze the stem and the first N-1 residual
+        # stages of BOTH trunks
+        n = train_cfg.freeze_backbone_stages
+        frozen_names = {"stem"} | {f"res{s}" for s in range(2, n + 1)}
+
+        def extra_freeze(path):
+            keys = [str(getattr(k, "key", k)) for k in path]
+            if len(keys) >= 3 and keys[0] == "backbone":
+                stage = keys[2].split("_")[0]
+                return stage in frozen_names
+            return False
+
     model = MaskRefiner(model_cfg, train=False)
     # jit the init: eager init dispatches every op individually, which is
     # catastrophically slow over a remote-TPU tunnel

@@ -125,3 +125,29 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         jax.tree_util.tree_leaves_with_path(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_freeze_backbone_stages(rng):
+    # FREEZE_AT=2: stem + res2 of both trunks must receive zero updates
+    model_cfg = MaskRefinerConfig(height=32, width=32)
+    train_cfg = TrainConfig(batch_size=2, max_iter=100, base_lr=1e-2,
+                            warmup_iters=1, freeze_backbone_stages=2)
+    state, tx = create_train_state(model_cfg, train_cfg)
+    mesh = make_mesh(jax.devices()[:1])
+    step = make_train_step(model_cfg, train_cfg, tx, mesh, donate=False)
+    batch = put_batch(tiny_batch(rng, 2, 32, 32), mesh)
+    before = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(state.params)
+    }
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    changed_res3 = 0
+    for p, v in jax.tree_util.tree_leaves_with_path(new_state.params):
+        key = jax.tree_util.keystr(p)
+        frozen = ("['stem']" in key or "['res2_" in key) and "backbone" in key
+        if frozen:
+            np.testing.assert_array_equal(np.asarray(v), before[key], key)
+        elif "['res3_" in key and "frozen" not in key:
+            if not np.array_equal(np.asarray(v), before[key]):
+                changed_res3 += 1
+    assert changed_res3 > 0
