@@ -124,24 +124,30 @@ def boxes_to_deltas(anchors, targets):
 
 @partial(jax.jit, static_argnames=("out_size",))
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, out_size: int = 14,
-              stride: int = 1) -> jnp.ndarray:
+              stride: int = 1, offsets: jnp.ndarray | None = None) -> jnp.ndarray:
     """ROI-align via bilinear grid sampling (one sample per output cell,
     detectron2 aligned=True convention).
 
     features [H, W, C] (a single level, stride given); boxes [N, 4] XYXY in
     image coordinates. Returns [N, out_size, out_size, C].
+
+    `offsets` [N, out_size, out_size, 2] adds learned per-cell (dy, dx)
+    displacements scaled by the box size — the deformable variant
+    (DefROIAlign_cuda.cu's trans_std-scaled offsets).
     """
     h, w, c = features.shape
     b = boxes / stride  # to feature coordinates
+    if offsets is None:
+        offsets = jnp.zeros((boxes.shape[0], out_size, out_size, 2), jnp.float32)
 
-    def sample_one(box):
+    def sample_one(box, off):
         x0, y0, x1, y1 = box
         bw = jnp.maximum(x1 - x0, 1e-6)
         bh = jnp.maximum(y1 - y0, 1e-6)
         gy = y0 + (jnp.arange(out_size) + 0.5) * bh / out_size - 0.5
         gx = x0 + (jnp.arange(out_size) + 0.5) * bw / out_size - 0.5
-        yy = jnp.broadcast_to(gy[:, None], (out_size, out_size))
-        xx = jnp.broadcast_to(gx[None, :], (out_size, out_size))
+        yy = jnp.broadcast_to(gy[:, None], (out_size, out_size)) + off[..., 0] * bh
+        xx = jnp.broadcast_to(gx[None, :], (out_size, out_size)) + off[..., 1] * bw
         y0i = jnp.floor(yy)
         x0i = jnp.floor(xx)
         dy = yy - y0i
@@ -162,4 +168,4 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, out_size: int = 14,
             + gather(y0i + 1, x0i + 1) * (dy * dx)[..., None]
         )
 
-    return jax.vmap(sample_one)(b)
+    return jax.vmap(sample_one)(b, offsets)

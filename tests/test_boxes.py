@@ -114,3 +114,18 @@ def test_roi_align_identity_box(rng):
     boxes = np.asarray([[0.0, 0.0, 8.0, 8.0]], np.float32)
     got = np.asarray(B.roi_align(jnp.asarray(feat), jnp.asarray(boxes), out_size=8))
     np.testing.assert_allclose(got[0], feat, atol=1e-5)
+
+
+def test_roi_align_deformable_offsets(rng):
+    # constant offset of (0, +2px/bw normalized) shifts samples right by 2 px
+    feat = rng.rand(16, 16, 2).astype(np.float32)
+    box = np.asarray([[4.0, 4.0, 12.0, 12.0]], np.float32)
+    base = np.asarray(B.roi_align(jnp.asarray(feat), jnp.asarray(box), out_size=4))
+    off = np.zeros((1, 4, 4, 2), np.float32)
+    off[..., 1] = 2.0 / 8.0  # dx normalized by box width 8 -> +2 px
+    shifted_box = box + np.asarray([[2.0, 0.0, 2.0, 0.0]])
+    want = np.asarray(B.roi_align(jnp.asarray(feat), jnp.asarray(shifted_box), out_size=4))
+    got = np.asarray(B.roi_align(jnp.asarray(feat), jnp.asarray(box), out_size=4,
+                                 offsets=jnp.asarray(off)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert not np.allclose(got, base)

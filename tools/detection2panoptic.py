@@ -54,7 +54,13 @@ def main():
             if isinstance(seg, dict):
                 mask = rle.decode(seg)
             else:
-                raise ValueError("polygon segmentations not supported; use RLE")
+                # COCO polygon list(s): [[x0, y0, x1, y1, ...], ...]
+                import cv2
+
+                mask = np.zeros((h, w), np.uint8)
+                for poly in seg:
+                    pts = np.asarray(poly, np.float32).reshape(-1, 2)
+                    cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
             panoptic[mask > 0] = j
             segments_info.append({
                 "id": j,
