@@ -179,6 +179,92 @@ class MSMFormer(nn.Module):
         return {"mask_logits": mask_logits, "objectness": objectness.astype(jnp.float32)}
 
 
+def hungarian_match(cost: jnp.ndarray, valid_targets: jnp.ndarray) -> jnp.ndarray:
+    """Min-cost assignment of queries to targets via a host callback.
+
+    cost [Q, N]; valid_targets [N] bool. Returns match [N] int32: the query
+    index assigned to each target (-1 for invalid targets). The matrices are
+    tiny (Q, N <= ~50), so a host scipy call per step is negligible — the
+    same choice Mask2Former-family trainers make.
+    """
+    import numpy as np
+
+    q, n = cost.shape
+
+    def solve(cost_np, valid_np):
+        from scipy.optimize import linear_sum_assignment
+
+        out = np.full((n,), -1, np.int32)
+        cols = np.nonzero(valid_np)[0]
+        if len(cols):
+            sub = cost_np[:, cols]
+            rows, sub_cols = linear_sum_assignment(sub)
+            out[cols[sub_cols]] = rows.astype(np.int32)
+        return out
+
+    return jax.pure_callback(
+        solve, jax.ShapeDtypeStruct((n,), jnp.int32), cost, valid_targets,
+        vmap_method="sequential",
+    )
+
+
+def msmformer_set_loss(
+    outputs: dict,
+    gt_masks: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    obj_weight: float = 2.0,
+):
+    """Set-prediction loss (Mask2Former/MSMFormer criterion): Hungarian-match
+    queries to GT instances on (objectness + mask BCE + dice) costs, then
+    supervise matched masks with BCE + dice and all queries' objectness.
+
+    outputs: MSMFormer forward dict; gt_masks [B, N, h, w] at the mask-logit
+    resolution; gt_valid [B, N] bool.
+    """
+    logits = outputs["mask_logits"]  # [B, Q, h, w]
+    obj = outputs["objectness"]  # [B, Q]
+    b, qn = obj.shape
+
+    def one(logits, obj, gt, valid):
+        q = logits.shape[0]
+        n = gt.shape[0]
+        probs = jax.nn.sigmoid(logits).reshape(q, -1)
+        t = gt.reshape(n, -1).astype(jnp.float32)
+        # cost: dice + objectness (negative prob of being an object)
+        inter = probs @ t.T  # [Q, N]
+        denom = probs.sum(-1)[:, None] + t.sum(-1)[None, :]
+        dice_cost = 1.0 - (2 * inter + 1) / (denom + 1)
+        cost = dice_cost - jax.nn.log_sigmoid(obj)[:, None]
+        match = hungarian_match(cost, valid)  # [N] query index per target
+
+        # mask losses over matched pairs
+        sel = jnp.clip(match, 0, q - 1)
+        ml = logits[sel].reshape(n, -1)
+        w = valid.astype(jnp.float32)
+        bce = jnp.maximum(ml, 0) - ml * t + jnp.log1p(jnp.exp(-jnp.abs(ml)))
+        loss_mask = jnp.sum(jnp.mean(bce, axis=-1) * w) / jnp.maximum(w.sum(), 1.0)
+        p = jax.nn.sigmoid(ml)
+        inter_m = jnp.sum(p * t, axis=-1)
+        denom_m = p.sum(-1) + t.sum(-1)
+        loss_dice = jnp.sum((1 - (2 * inter_m + 1) / (denom_m + 1)) * w) / jnp.maximum(w.sum(), 1.0)
+
+        # objectness: matched queries -> 1, others -> 0
+        is_matched = jnp.zeros((q,), jnp.float32)
+        is_matched = is_matched.at[sel].max(w)
+        obj_bce = jnp.maximum(obj, 0) - obj * is_matched + jnp.log1p(jnp.exp(-jnp.abs(obj)))
+        loss_obj = jnp.mean(obj_bce)
+        return loss_mask, loss_dice, loss_obj
+
+    lm, ld, lo = jax.vmap(one)(logits, obj, gt_masks, gt_valid)
+    return {
+        "loss_mask": mask_weight * jnp.mean(lm),
+        "loss_dice": dice_weight * jnp.mean(ld),
+        "loss_objectness": obj_weight * jnp.mean(lo),
+    }
+
+
 def masks_from_queries(mask_logits, objectness, score_threshold=0.5,
                        mask_threshold=0.5, min_pixels=64):
     """Fixed-shape inference: confident queries -> disjoint label map.

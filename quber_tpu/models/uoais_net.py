@@ -190,6 +190,13 @@ class UOAISNet(nn.Module):
             "visible_masks": visible,
             "amodal_masks": amodal,
             "occlusion": occlusion,
+            # training intermediates (losses assign targets to these)
+            "anchors": anchors,
+            "rpn_objectness": obj,
+            "rpn_deltas": deltas,
+            "proposal_boxes": det_boxes,
+            "cls_logit": cls_logit,
+            "box_deltas": box_deltas,
         }
 
 
@@ -226,6 +233,114 @@ def paste_masks(mask_logits, boxes, valid, h: int, w: int, threshold=0.5):
         return (jax.nn.sigmoid(val) > threshold) & inside & ok
 
     return jax.vmap(one)(mask_logits, boxes, valid)
+
+
+def _smooth_l1(x):
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def uoais_losses(
+    outputs: dict,
+    gt_boxes: jnp.ndarray,
+    gt_visible: jnp.ndarray,
+    gt_amodal: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    rpn_pos_iou: float = 0.7,
+    rpn_neg_iou: float = 0.3,
+    roi_pos_iou: float = 0.5,
+):
+    """Two-stage detector losses with IoU-based target assignment.
+
+    Mirrors the UOAIS-Net (ORCNN) training recipe (rcnn_heads.py): RPN
+    objectness BCE + smooth-L1 box deltas on positive anchors; ROI
+    classification BCE + box regression on matched proposals; visible AND
+    amodal mask BCE on positives (occlusion head supervised by whether the
+    amodal target exceeds the visible one). All fixed-shape: anchors/
+    proposals carry per-element weights instead of sampling.
+
+    gt_boxes [N, 4] XYXY; gt_visible/gt_amodal [N, H, W]; gt_valid [N].
+    """
+    anchors = outputs["anchors"]
+    iou = box_ops.box_iou(anchors, gt_boxes)  # [A, N]
+    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+    best_iou = jnp.max(iou, axis=1)
+    best_gt = jnp.argmax(iou, axis=1)
+    # anchors with the max IoU for some gt are positive too
+    per_gt_best = jnp.argmax(iou, axis=0)
+    forced_pos = jnp.zeros(anchors.shape[0], bool).at[per_gt_best].set(
+        jnp.asarray(gt_valid)
+    )
+    pos = (best_iou > rpn_pos_iou) | forced_pos
+    neg = best_iou < rpn_neg_iou
+
+    obj = outputs["rpn_objectness"]
+    t = pos.astype(jnp.float32)
+    w = (pos | neg).astype(jnp.float32)
+    obj_bce = jnp.maximum(obj, 0) - obj * t + jnp.log1p(jnp.exp(-jnp.abs(obj)))
+    loss_rpn_obj = jnp.sum(obj_bce * w) / jnp.maximum(w.sum(), 1.0)
+
+    target_deltas = box_ops.boxes_to_deltas(anchors, gt_boxes[best_gt])
+    pw = pos.astype(jnp.float32)[:, None]
+    loss_rpn_box = jnp.sum(
+        _smooth_l1(outputs["rpn_deltas"] - target_deltas) * pw
+    ) / jnp.maximum(pw.sum() * 4, 1.0)
+
+    # ROI stage: match proposals to gt
+    props = outputs["proposal_boxes"]
+    piou = jnp.where(gt_valid[None, :], box_ops.box_iou(props, gt_boxes), 0.0)
+    p_best = jnp.max(piou, axis=1)
+    p_gt = jnp.argmax(piou, axis=1)
+    p_pos = p_best > roi_pos_iou
+
+    cls = outputs["cls_logit"]
+    tc = p_pos.astype(jnp.float32)
+    cls_bce = jnp.maximum(cls, 0) - cls * tc + jnp.log1p(jnp.exp(-jnp.abs(cls)))
+    loss_cls = jnp.mean(cls_bce)
+
+    roi_deltas_t = box_ops.boxes_to_deltas(props, gt_boxes[p_gt])
+    rw = p_pos.astype(jnp.float32)[:, None]
+    loss_box = jnp.sum(
+        _smooth_l1(outputs["box_deltas"] - roi_deltas_t) * rw
+    ) / jnp.maximum(rw.sum() * 4, 1.0)
+
+    # mask heads: BCE against ROI-aligned GT masks of the matched instance
+    def mask_loss(logits, gt_masks):
+        m = logits.shape[-1]
+
+        def one(logit, box, gi, ok):
+            target = box_ops.roi_align(
+                gt_masks[gi][..., None].astype(jnp.float32), box[None], out_size=m
+            )[0, ..., 0]
+            target = (target > 0.5).astype(jnp.float32)
+            bce = jnp.maximum(logit, 0) - logit * target + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+            return jnp.mean(bce) * ok
+
+        per = jax.vmap(one)(logits, props, p_gt, p_pos.astype(jnp.float32))
+        return jnp.sum(per) / jnp.maximum(p_pos.sum(), 1.0)
+
+    loss_visible = mask_loss(outputs["visible_masks"], gt_visible)
+    loss_amodal = mask_loss(outputs["amodal_masks"], gt_amodal)
+
+    # occlusion: instance is occluded iff amodal has pixels visible lacks
+    occluded = (
+        jnp.sum(gt_amodal.astype(jnp.float32), axis=(1, 2))
+        > jnp.sum(gt_visible.astype(jnp.float32), axis=(1, 2)) + 16
+    ).astype(jnp.float32)
+    t_occ = occluded[p_gt]
+    occ = outputs["occlusion"]
+    occ_bce = jnp.maximum(occ, 0) - occ * t_occ + jnp.log1p(jnp.exp(-jnp.abs(occ)))
+    loss_occ = jnp.sum(occ_bce * p_pos) / jnp.maximum(p_pos.sum(), 1.0)
+
+    return {
+        "loss_rpn_objectness": loss_rpn_obj,
+        "loss_rpn_box": loss_rpn_box,
+        "loss_cls": loss_cls,
+        "loss_box": loss_box,
+        "loss_visible_mask": loss_visible,
+        "loss_amodal_mask": loss_amodal,
+        "loss_occlusion": loss_occ,
+    }
 
 
 class UOAISNetBaseModel:

@@ -42,3 +42,48 @@ def test_masks_from_queries_rejects_all():
     labels, n = masks_from_queries(jnp.asarray(logits), jnp.asarray(objectness))
     assert int(n) == 0
     assert np.all(np.asarray(labels) == 0)
+
+
+def test_set_loss_perfect_vs_bad():
+    from quber_tpu.models.msmformer import msmformer_set_loss
+
+    q, h, w = 4, 16, 16
+    gt = np.zeros((1, 2, h, w), np.float32)
+    gt[0, 0, :8] = 1
+    gt[0, 1, 8:] = 1
+    valid = np.asarray([[True, True]])
+
+    # perfect prediction: queries 0/1 reproduce the GT with high objectness
+    logits = np.full((1, q, h, w), -10.0, np.float32)
+    logits[0, 0, :8] = 10.0
+    logits[0, 1, 8:] = 10.0
+    objness = np.asarray([[8.0, 8.0, -8.0, -8.0]], np.float32)
+    good = msmformer_set_loss(
+        {"mask_logits": jnp.asarray(logits), "objectness": jnp.asarray(objness)},
+        jnp.asarray(gt), jnp.asarray(valid))
+    total_good = sum(float(v) for v in good.values())
+
+    bad = msmformer_set_loss(
+        {"mask_logits": jnp.asarray(-logits), "objectness": jnp.asarray(-objness)},
+        jnp.asarray(gt), jnp.asarray(valid))
+    total_bad = sum(float(v) for v in bad.values())
+    assert total_good < 0.1 < total_bad
+
+
+def test_set_loss_matching_invariance():
+    from quber_tpu.models.msmformer import msmformer_set_loss
+
+    # swapping which query owns which GT must not change the loss
+    q, h, w = 3, 8, 8
+    gt = np.zeros((1, 2, h, w), np.float32)
+    gt[0, 0, :, :4] = 1
+    gt[0, 1, :, 4:] = 1
+    valid = np.asarray([[True, True]])
+    logits = np.full((1, q, h, w), -9.0, np.float32)
+    logits[0, 2, :, :4] = 9.0   # query 2 owns GT 0
+    logits[0, 0, :, 4:] = 9.0   # query 0 owns GT 1
+    objness = np.asarray([[7.0, -7.0, 7.0]], np.float32)
+    out = msmformer_set_loss(
+        {"mask_logits": jnp.asarray(logits), "objectness": jnp.asarray(objness)},
+        jnp.asarray(gt), jnp.asarray(valid))
+    assert sum(float(v) for v in out.values()) < 0.1

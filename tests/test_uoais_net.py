@@ -56,3 +56,37 @@ def test_paste_masks():
     out2 = np.asarray(paste_masks(jnp.asarray(logits), jnp.asarray(boxes),
                                   jnp.asarray([False]), 32, 32))
     assert not out2.any()
+
+
+def test_uoais_losses(rng):
+    from quber_tpu.models.uoais_net import UOAISNet, uoais_losses
+
+    m = UOAISNet(max_proposals=16, max_detections=4, norm="GN")
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    dep = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), rgb, dep)
+    out = m.apply(v, rgb, dep)
+
+    n = 3
+    gt_boxes = jnp.asarray([[8, 8, 30, 30], [35, 12, 60, 40], [0, 0, 0, 0]], jnp.float32)
+    gt_vis = np.zeros((n, 64, 64), np.float32)
+    gt_vis[0, 8:30, 8:30] = 1
+    gt_vis[1, 12:40, 35:60] = 1
+    gt_amo = gt_vis.copy()
+    gt_amo[0, 8:34, 8:34] = 1  # instance 0 occluded (amodal larger)
+    gt_valid = jnp.asarray([True, True, False])
+
+    losses = uoais_losses(out, gt_boxes, jnp.asarray(gt_vis), jnp.asarray(gt_amo), gt_valid)
+    assert set(losses) == {"loss_rpn_objectness", "loss_rpn_box", "loss_cls",
+                           "loss_box", "loss_visible_mask", "loss_amodal_mask",
+                           "loss_occlusion"}
+    for k, val in losses.items():
+        assert np.isfinite(float(val)), k
+    # losses are differentiable end-to-end
+    def total(params):
+        o = m.apply(params, rgb, dep)
+        return sum(uoais_losses(o, gt_boxes, jnp.asarray(gt_vis),
+                                jnp.asarray(gt_amo), gt_valid).values())
+    g = jax.grad(lambda p: total(p))(v)
+    gnorm = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)))
+    assert np.isfinite(gnorm) and gnorm > 0
