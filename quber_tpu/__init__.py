@@ -22,7 +22,9 @@ __version__ = "0.1.0"
 
 # Persistent XLA compilation cache: the flagship model takes minutes to
 # compile at 480x640 over the remote-TPU tunnel; cache compiled executables
-# across processes. Opt out with QUBER_NO_COMPILE_CACHE=1.
+# across processes. TPU-only: XLA:CPU AOT cache entries reload with
+# machine-feature mismatches ("could lead to SIGILL") and have been observed
+# to wedge eager dispatch. Opt out with QUBER_NO_COMPILE_CACHE=1.
 import os as _os
 
 if not _os.environ.get("QUBER_NO_COMPILE_CACHE"):
@@ -32,8 +34,9 @@ if not _os.environ.get("QUBER_NO_COMPILE_CACHE"):
         "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/quber_jax")
     )
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        if _jax.config.jax_platforms != "cpu":
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass

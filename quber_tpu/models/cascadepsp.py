@@ -109,11 +109,21 @@ class CascadePSPRefiner:
         self._refine = jax.jit(self._refine_impl)
 
     def _refine_impl(self, params, image, masks, valid):
-        """image [H, W, 6] f32 0..255; masks [N, H, W] f32."""
-        g = self.GLOBAL
-        img_small = jax.image.resize(image, (g, g, 6), "bilinear") / 255.0
+        """image [H, W, 6] f32 0..255; masks [N, H, W] f32.
 
-        def one(mask):
+        Cascade: global pass at GLOBAL^2 -> prediction-feedback pass -> a
+        local ROI zoom pass cropped around each mask's (expanded) box, the
+        fixed-shape counterpart of the reference's process_high_res_im crop
+        loop (cascadepsp_rgbd.py:9-131)."""
+        from quber_tpu.models.ucn import instance_boxes_from_labels
+        from quber_tpu.ops.boxes import roi_align
+
+        g = self.GLOBAL
+        h, w = masks.shape[1], masks.shape[2]
+        img_small = jax.image.resize(image, (g, g, 6), "bilinear") / 255.0
+        img_norm = image / 255.0
+
+        def global_pass(mask):
             m_small = jax.image.resize(mask, (g, g), "bilinear")
             inp = jnp.concatenate(
                 [img_small, m_small[..., None], m_small[..., None], m_small[..., None]],
@@ -127,10 +137,43 @@ class CascadePSPRefiner:
                 axis=-1,
             )
             logit2 = self.model.apply(params, inp2[None])[0, ..., 0]
-            full = jax.image.resize(logit2, mask.shape, "bilinear")
-            return full
+            return jax.image.resize(logit2, mask.shape, "bilinear")
 
-        logits = jax.vmap(one)(masks.astype(jnp.float32))
+        logits = jax.vmap(global_pass)(masks.astype(jnp.float32))
+        global_pred = jax.nn.sigmoid(logits)
+
+        # local zoom: crop each mask's expanded box, refine at full detail,
+        # paste the local logits over the global ones inside the box
+        n = masks.shape[0]
+        labels = jnp.max(
+            (global_pred > 0.5).astype(jnp.int32)
+            * jnp.arange(1, n + 1, dtype=jnp.int32)[:, None, None],
+            axis=0,
+        )
+        boxes, bvalid = instance_boxes_from_labels(labels, n)
+
+        def local_pass(box, gp, mask, ok):
+            crop_img = roi_align(img_norm, box[None], out_size=g)[0]
+            crop_gp = roi_align(gp[..., None], box[None], out_size=g)[0, ..., 0]
+            crop_m = roi_align(mask[..., None].astype(jnp.float32), box[None], out_size=g)[0, ..., 0]
+            inp = jnp.concatenate(
+                [crop_img, crop_m[..., None], crop_gp[..., None], crop_gp[..., None]],
+                axis=-1,
+            )
+            logit = self.model.apply(params, inp[None])[0, ..., 0]
+            # paste back: inverse-map full-res pixels into the crop
+            ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+            xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+            gy = (ys + 0.5 - box[1]) / jnp.maximum(box[3] - box[1], 1e-3) * g - 0.5
+            gx = (xs + 0.5 - box[0]) / jnp.maximum(box[2] - box[0], 1e-3) * g - 0.5
+            inside = (gy >= 0) & (gy < g) & (gx >= 0) & (gx < g) & ok
+            val = logit[
+                jnp.clip(jnp.round(gy), 0, g - 1).astype(jnp.int32),
+                jnp.clip(jnp.round(gx), 0, g - 1).astype(jnp.int32),
+            ]
+            return jnp.where(inside, val, jax.scipy.special.logit(jnp.clip(gp, 1e-6, 1 - 1e-6)))
+
+        logits = jax.vmap(local_pass)(boxes, global_pred, masks.astype(jnp.float32), bvalid)
         refined = (jax.nn.sigmoid(logits) > 0.5) & valid[:, None, None]
         return refined
 

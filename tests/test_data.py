@@ -88,3 +88,26 @@ def test_perlin_distortion(rng):
     valid = depth > 0
     assert not np.allclose(out[valid], depth[valid])
     assert np.percentile(out[valid], 5) > 300 and out[valid].max() < 1700
+
+
+def test_grain_pipeline(rng, blobs):
+    from quber_tpu.data.pipeline import make_dataloader
+
+    records = [{"idx": i} for i in range(5)]
+
+    class ToySampleMapper:
+        def __call__(self, record):
+            r = np.random.RandomState(record["idx"])
+            return {"x": r.rand(4, 4).astype(np.float32),
+                    "idx": np.int32(record["idx"])}
+
+    it = make_dataloader(records, ToySampleMapper(), batch_size=2, seed=1)
+    batch = next(it)
+    assert batch["x"].shape == (2, 4, 4)
+    assert batch["idx"].shape == (2,)
+    # endless: pull through more than one epoch
+    seen = set()
+    for _ in range(6):
+        b = next(it)
+        seen.update(int(i) for i in b["idx"])
+    assert seen == {0, 1, 2, 3, 4}

@@ -110,6 +110,8 @@ def main():
                         help="run the metric harness every eval_period iters (e.g. OSD)")
     parser.add_argument("--eval-dataset-path", default=None)
     parser.add_argument("--eval-limit", type=int, default=20)
+    parser.add_argument("--workers", type=int, default=0,
+                        help="grain prefetch workers (0 = in-process loader)")
     args = parser.parse_args()
 
     import dataclasses
@@ -155,7 +157,15 @@ def main():
             state = restored
             print(f"resumed at step {int(state.step)}")
     train_step = make_train_step(model_cfg, train_cfg, tx, mesh)
-    batches = batch_iterator(records, mapper, train_cfg.batch_size, seed=train_cfg.seed)
+    if args.workers:
+        from quber_tpu.data.datasets import get_dataset
+        from quber_tpu.data.pipeline import make_dataloader
+
+        recs = get_dataset(records) if isinstance(records, str) else records
+        batches = make_dataloader(recs, mapper, train_cfg.batch_size,
+                                  seed=train_cfg.seed, worker_count=args.workers)
+    else:
+        batches = batch_iterator(records, mapper, train_cfg.batch_size, seed=train_cfg.seed)
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     t0 = time.time()
