@@ -110,6 +110,17 @@ def run_eval(
         initial_masks, fg_mask, t_init = base.predict(rgb_path, depth_path)
         initial_times.append(t_init)
 
+        if refiner is None:
+            # "save" mode (eval_utils.py:266-275): dump initial predictions
+            # as npy for later replay through the LoadNpy models
+            save_dir = os.path.join("segfix", test_dataset, "initial_mask_predict")
+            os.makedirs(save_dir, exist_ok=True)
+            np.save(
+                os.path.join(save_dir, os.path.basename(rgb_path).replace(".png", ".npy")),
+                np.asarray(initial_masks, dtype=np.uint8) * 255,
+            )
+            continue
+
         refined_masks, refined_output, t_ref, fg_mask = refiner.predict(
             rgb_path, depth_path, initial_masks, fg_mask
         )

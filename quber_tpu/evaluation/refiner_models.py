@@ -142,7 +142,7 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
         from quber_tpu.models.sam_refiner import SAMHQRefiner
 
         return SAMHQRefiner(params=params, dataset=dataset, hq=name != "sam")
-    if name is None or name == "none":
+    if name is None or name in ("none", "save"):
         return None
     raise NotImplementedError(
         f"refiner model {name}; available: maskrefiner, maskrefiner-nofilter, "

@@ -67,3 +67,18 @@ def test_empty_base(osd_dir, tmp_path):
 def test_aggregate_skips_missing():
     agg = aggregate([{"a": 1.0, "b": None}, {"a": 3.0, "b": 2.0}])
     assert agg["a"] == 2.0 and agg["b"] == 2.0
+
+
+def test_save_mode_dumps_npy(osd_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_eval(
+        base_model="gt",
+        refiner_model="save",
+        test_dataset="OSD",
+        dataset_path=osd_dir,
+        csv_path=str(tmp_path / "out.csv"),
+    )
+    dumped = list((tmp_path / "segfix" / "OSD" / "initial_mask_predict").glob("*.npy"))
+    assert len(dumped) == 3
+    arr = np.load(dumped[0])
+    assert arr.ndim == 3 and arr.max() == 255
