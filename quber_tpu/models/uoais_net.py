@@ -2,17 +2,26 @@
 
 TPU-native rebuild of the reference's UOAIS-Net
 (/root/reference/ext_modules/uoais: adet/modeling/rcnn/rcnn_heads.py
-ORCNNROIHeads, backbones rgbdfpn/resnet_depth/cbam, config
+ORCNNROIHeads, mask_heads.py Visible/Amodal/OCCCLS heads, box_head.py
+MLCFastRCNNConvFCHead, backbones rgbdfpn/resnet_depth/cbam, config
 R50_rgbdconcat_mlc_occatmask_hom_concat.yaml; wrapped at
 eval/base_model.py:174-222): a two-stage detector with
 
   * dual R50 trunks fused per level by CBAM (channel + spatial attention)
-  * FPN (lateral 1x1 + top-down + 3x3 output convs)
-  * RPN with fixed-shape proposal selection (top-k + NMS scan —
-    the ml_nms.cu replacement lives in quber_tpu.ops.boxes)
-  * ROI heads: box head (2 FC) and THREE mask heads on ROI-aligned
-    features — visible mask, amodal mask, and occlusion prediction
-    (the reference's ORCNN hierarchy: occlusion = amodal minus visible)
+  * FPN p2..p6 (lateral 1x1 + top-down + 3x3 output convs, p6 = maxpool)
+  * multi-level RPN over p2..p6 with one anchor size per level
+    ([16,32,64,128,256] x 3 aspect ratios, ANCHOR_GENERATOR block of the
+    reference config) and fixed-shape proposal selection (per-level top-k +
+    NMS scan — the ml_nms.cu replacement lives in quber_tpu.ops.boxes)
+  * area-based FPN level assignment for ROI pooling (p2..p5)
+  * MLC (multi-level coding): the box head's first conv features are
+    upsampled and injected into every mask head (box_head.py:112-190,
+    rcnn_heads.py _init_mlc_layer)
+  * HOM (hierarchical occlusion modeling): visible -> amodal -> occlusion
+    heads run in the config's PREDICTION_ORDER ["V","A","O"], each
+    receiving the concat of the pooled features and all previous heads'
+    feature maps through 3 guidance convs (mask_heads.py:575-612,
+    rcnn_heads.py _forward_single_mask)
 
 Everything is fixed-shape: proposals padded to MAX_PROPOSALS, detections to
 MAX_DETECTIONS, with validity masks.
@@ -28,9 +37,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from quber_tpu.models.layers import ConvNorm, upsample_bilinear
+from quber_tpu.models.layers import ConvNorm
 from quber_tpu.models.resnet import ResNetTrunk
 from quber_tpu.ops import boxes as box_ops
+
+# one anchor size per FPN level (reference config ANCHOR_GENERATOR.SIZES)
+FPN_STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+ANCHOR_SIZES = {"p2": 16, "p3": 32, "p4": 64, "p5": 128, "p6": 256}
+ASPECT_RATIOS = (0.5, 1.0, 2.0)
+ROI_STRIDES = {k: FPN_STRIDES[k] for k in ("p2", "p3", "p4", "p5")}
 
 
 class CBAM(nn.Module):
@@ -58,7 +73,13 @@ class CBAM(nn.Module):
 
 
 class RGBDFPN(nn.Module):
-    """Dual-trunk backbone with per-level CBAM concat fusion + FPN."""
+    """Dual standard-R50 trunks with per-level CBAM concat fusion + FPN.
+
+    Unlike the QuBER refiner backbone (DeepLab stem, dilated res5), UOAIS-Net
+    uses the stock detectron2 R50: 7x7 stem, strided res5 (stride 32), FPN
+    p2..p5 + p6 via stride-2 maxpool (build_resnet_rgbd_latefusion_fpn_backbone
+    in adet/modeling/backbone/rgbdfpn.py).
+    """
 
     dim: int = 256
     norm: str = "FrozenBN"
@@ -69,7 +90,11 @@ class RGBDFPN(nn.Module):
     def __call__(self, rgb, depth):
         t, d = self.train, self.dtype
         levels = ("res2", "res3", "res4", "res5")
-        kwargs = dict(depth=50, out_features=levels, norm=self.norm, train=t, dtype=d)
+        kwargs = dict(
+            depth=50, stem_type="basic", stem_out_channels=64,
+            res5_dilation=1, res5_multi_grid=(1, 1, 1),
+            out_features=levels, norm=self.norm, train=t, dtype=d,
+        )
         f_rgb = ResNetTrunk(**kwargs, name="rgb_trunk")(rgb.astype(d))
         f_dep = ResNetTrunk(**kwargs, name="depth_trunk")(depth.astype(d))
 
@@ -88,18 +113,25 @@ class RGBDFPN(nn.Module):
         y = laterals["res5"]
         outs["p5"] = y
         for f, p in (("res4", "p4"), ("res3", "p3"), ("res2", "p2")):
-            y = upsample_bilinear(y.astype(jnp.float32),
-                                  size=(laterals[f].shape[1], laterals[f].shape[2])).astype(d)
+            y = jax.image.resize(
+                y.astype(jnp.float32),
+                (y.shape[0], laterals[f].shape[1], laterals[f].shape[2], y.shape[3]),
+                "nearest",
+            ).astype(d)
             y = y + laterals[f]
             outs[p] = y
         for p in outs:
             outs[p] = nn.Conv(self.dim, (3, 3), padding=1, dtype=d,
                               name=f"output_{p}")(outs[p])
-        return outs  # strides: p2=4, p3=8, p4=16, p5=16 (res5 dilated)
+        # LastLevelMaxPool: p6 = maxpool(p5, kernel 1, stride 2)
+        outs["p6"] = outs["p5"][:, ::2, ::2, :]
+        return outs  # strides: p2=4 .. p6=64
 
 
 class RPNHead(nn.Module):
-    num_anchors: int = 9
+    """Shared-across-levels RPN head (detectron2 StandardRPNHead)."""
+
+    num_anchors: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,30 +143,128 @@ class RPNHead(nn.Module):
         return obj, deltas
 
 
-class MaskHead(nn.Module):
-    """4 convs + 2x deconv + predictor (standard Mask-RCNN head)."""
+class MLCBoxHead(nn.Module):
+    """4-conv box head returning (pooled features, first-conv features).
 
+    MLCFastRCNNConvFCHead with NUM_CONV=4, NUM_FC=0 (box_head.py:112-190):
+    the first conv's output is the multi-level-coding feature handed to the
+    mask heads.
+    """
+
+    dim: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
-        for i in range(4):
-            x = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=d, name=f"conv{i}")(x))
-        x = nn.relu(nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=d, name="deconv")(x))
-        return nn.Conv(1, (1, 1), dtype=d, name="predictor")(x)[..., 0]
+        first = nn.relu(nn.Conv(self.dim, (3, 3), padding=1, dtype=d, name="conv1")(x))
+        y = first
+        for i in range(2, 5):
+            y = nn.relu(nn.Conv(self.dim, (3, 3), padding=1, dtype=d, name=f"conv{i}")(y))
+        return y, first
+
+
+class MLCExtraction(nn.Module):
+    """ROIHeads._init_mlc_layer: deconv 7->14 + two 3x3 convs over the box
+    head's first-conv features, producing the guidance injected into every
+    mask head."""
+
+    dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        x = nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2), dtype=d, name="deconv")(x)
+        x = nn.relu(nn.Conv(self.dim, (3, 3), padding=1, dtype=d, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.dim, (3, 3), padding=1, dtype=d, name="conv2")(x))
+        return x
+
+
+class HOMMaskHead(nn.Module):
+    """One hierarchical mask head (Visible/AmodalMaskRCNNConvUpsampleHead).
+
+    Input 14x14 pooled features concatenated with all previous heads' output
+    features -> 3 guidance convs -> conv1 -> concat MLC features -> 3 MLC
+    convs -> conv2..4 -> (deconv + 1x1 predictor, 28x28 logits).
+    Returns (logits, pre-deconv features) — the features feed the next head
+    in PREDICTION_ORDER (mask_heads.py:595-612 forward).
+    """
+
+    dim: int = 256
+    n_guidance: int = 0  # number of previous heads' feature maps
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guidance, mlc):
+        d = self.dtype
+        if self.n_guidance:
+            x = jnp.concatenate([x] + list(guidance), axis=-1)
+            gdim = (1 + self.n_guidance) * self.dim
+            for i, od in enumerate((gdim, gdim, self.dim)):
+                x = nn.relu(nn.Conv(od, (3, 3), padding=1, dtype=d,
+                                    name=f"guide{i}")(x))
+        x = nn.relu(nn.Conv(self.dim, (3, 3), padding=1, dtype=d, name="conv1")(x))
+        x = jnp.concatenate([x, mlc], axis=-1)
+        for i, od in enumerate((2 * self.dim, 2 * self.dim, self.dim)):
+            x = nn.relu(nn.Conv(od, (3, 3), padding=1, dtype=d, name=f"mlc{i}")(x))
+        for i in range(2, 5):
+            x = nn.relu(nn.Conv(self.dim, (3, 3), padding=1, dtype=d, name=f"conv{i}")(x))
+        feat = x
+        y = nn.relu(nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2), dtype=d,
+                                     name="deconv")(x))
+        logits = nn.Conv(1, (1, 1), dtype=d, name="predictor")(y)[..., 0]
+        return logits.astype(jnp.float32), feat
+
+
+class OccClsMaskHead(nn.Module):
+    """Occlusion classifier at mask level (OCCCLSMaskHead, 2-class)."""
+
+    dim: int = 256
+    n_guidance: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guidance, mlc):
+        d = self.dtype
+        x = jnp.concatenate([x] + list(guidance), axis=-1)
+        gdim = (1 + self.n_guidance) * self.dim
+        for i, od in enumerate((gdim, gdim, self.dim)):
+            x = nn.relu(nn.Conv(od, (3, 3), padding=1, dtype=d, name=f"guide{i}")(x))
+        x = nn.relu(nn.Conv(self.dim, (3, 3), padding=1, dtype=d, name="conv1")(x))
+        x = jnp.concatenate([x, mlc], axis=-1)
+        for i, od in enumerate((2 * self.dim, 2 * self.dim, self.dim)):
+            x = nn.relu(nn.Conv(od, (3, 3), padding=1, dtype=d, name=f"mlc{i}")(x))
+        feat = x
+        pooled = jnp.mean(x, axis=(1, 2))
+        y = nn.relu(nn.Dense(self.dim, dtype=d, name="fc")(pooled))
+        logits = nn.Dense(2, dtype=d, name="predictor")(y)
+        return logits.astype(jnp.float32), feat
+
+
+def _multilevel_anchors(h: int, w: int):
+    """Anchors for every FPN level at image size (h, w), concatenated."""
+    per_level = {}
+    for name, stride in FPN_STRIDES.items():
+        fh = -(-h // stride)
+        fw = -(-w // stride)
+        per_level[name] = box_ops.generate_anchors(
+            fh, fw, stride, sizes=(ANCHOR_SIZES[name],), aspect_ratios=ASPECT_RATIOS
+        )
+    return per_level
 
 
 class UOAISNet(nn.Module):
     """forward(rgb, depth) -> dict of fixed-shape detections.
 
-    rgb/depth: [1, H, W, 3] (single image; H, W multiples of 32).
-    Returns boxes [P, 4], scores [P], valid [P], visible/amodal mask logits
-    [P, 28, 28], occlusion logits [P].
+    rgb/depth: [1, H, W, 3] (single image; H, W multiples of 64).
+    Returns boxes [D, 4], scores [D], valid [D], visible/amodal mask logits
+    [D, 28, 28], occlusion logits [D, 2].
     """
 
     max_proposals: int = 128
     max_detections: int = 32
+    pre_nms_topk_per_level: int = 128
     norm: str = "FrozenBN"
     train: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -145,58 +275,82 @@ class UOAISNet(nn.Module):
         h, w = rgb.shape[1], rgb.shape[2]
         fpn = RGBDFPN(norm=self.norm, train=t, dtype=d, name="backbone")(rgb, depth)
 
-        # RPN over p3 (stride 8) — single-level proposals keep shapes static
-        level, stride = "p3", 8
-        obj, deltas = RPNHead(dtype=d, name="rpn")(fpn[level])
-        fh, fw = obj.shape[1], obj.shape[2]
-        anchors = box_ops.generate_anchors(fh, fw, stride)
-        obj = obj[0].reshape(-1).astype(jnp.float32)
-        deltas = deltas[0].reshape(-1, 4).astype(jnp.float32)
-        proposals = box_ops.apply_deltas(anchors, deltas, clip_hw=(h, w))
+        # ---- multi-level RPN: shared head over p2..p6 ----
+        rpn = RPNHead(num_anchors=len(ASPECT_RATIOS), dtype=d, name="rpn")
+        anchors = _multilevel_anchors(h, w)
+        pre_k = self.pre_nms_topk_per_level
+        lvl_scores, lvl_boxes, all_obj, all_deltas, all_anchors = [], [], [], [], []
+        for name in FPN_STRIDES:
+            obj, deltas = rpn(fpn[name])
+            obj = obj[0].reshape(-1).astype(jnp.float32)
+            deltas = deltas[0].reshape(-1, 4).astype(jnp.float32)
+            props = box_ops.apply_deltas(anchors[name], deltas, clip_hw=(h, w))
+            # per-level pre-NMS top-k (RPN.PRE_NMS_TOPK is per level in the
+            # reference config); keeps the NMS input fixed and small
+            k = min(pre_k, obj.shape[0])
+            s, idx = jax.lax.top_k(obj, k)
+            lvl_scores.append(s)
+            lvl_boxes.append(props[idx])
+            all_obj.append(obj)
+            all_deltas.append(deltas)
+            all_anchors.append(anchors[name])
 
-        k = self.max_proposals
-        top_scores, top_idx = jax.lax.top_k(obj, k)
-        top_boxes = proposals[top_idx]
-        keep = box_ops.nms_fixed(top_boxes, top_scores, 0.7)
-        # fixed shape: sort survivors first, keep top max_detections
-        order = jnp.argsort(~keep)  # kept first (False < True)
+        cand_scores = jnp.concatenate(lvl_scores)
+        cand_boxes = jnp.concatenate(lvl_boxes, axis=0)
+        keep = box_ops.nms_fixed(cand_boxes, cand_scores, 0.7)
+        # fixed shape: kept boxes first (by score), top max_proposals
+        order = jnp.argsort(-jnp.where(keep, cand_scores, -jnp.inf))
+        p = self.max_proposals
+        prop_boxes = cand_boxes[order][:p]
+        prop_scores = jnp.where(keep[order][:p], cand_scores[order][:p], -jnp.inf)
+        prop_valid = keep[order][:p]
+
+        # ---- box stage: level-assigned ROI align on p2..p5 ----
+        feats = {k: fpn[k][0].astype(jnp.float32) for k in ROI_STRIDES}
+        roi7 = box_ops.roi_align_multilevel(feats, prop_boxes, 7, ROI_STRIDES)
+        box_feat, first_feat = MLCBoxHead(dtype=d, name="box_head")(roi7.astype(d))
+        pooled = jnp.mean(box_feat, axis=(1, 2))
+        cls_logit = nn.Dense(1, dtype=d, name="cls")(pooled)[..., 0].astype(jnp.float32)
+        box_deltas = nn.Dense(4, dtype=d, name="box_deltas")(pooled).astype(jnp.float32)
+        final_boxes = box_ops.apply_deltas(prop_boxes, box_deltas, clip_hw=(h, w))
+        cls_scores = jnp.where(prop_valid, jax.nn.sigmoid(cls_logit), 0.0)
+
+        # final detection selection: NMS on regressed boxes, top max_detections
+        det_keep = box_ops.nms_fixed(final_boxes, jnp.where(prop_valid, cls_scores, -1.0), 0.5)
+        det_keep = det_keep & prop_valid
+        det_order = jnp.argsort(-jnp.where(det_keep, cls_scores, -jnp.inf))
         det = self.max_detections
-        det_boxes = top_boxes[order][:det]
-        det_scores = jnp.where(keep[order][:det], jax.nn.sigmoid(top_scores[order][:det]), 0.0)
-        det_valid = keep[order][:det]
+        det_idx = det_order[:det]
+        det_boxes = final_boxes[det_idx]
+        det_scores = jnp.where(det_keep[det_idx], cls_scores[det_idx], 0.0)
+        det_valid = det_keep[det_idx]
 
-        # ROI heads on p2 (stride 4)
-        feats = fpn["p2"][0].astype(jnp.float32)
-        roi = box_ops.roi_align(feats, det_boxes, out_size=7, stride=4)
-        flat = roi.reshape(det, -1)
-        fc = nn.relu(nn.Dense(1024, dtype=d, name="box_fc1")(flat.astype(d)))
-        fc = nn.relu(nn.Dense(1024, dtype=d, name="box_fc2")(fc))
-        cls_logit = nn.Dense(1, dtype=d, name="cls")(fc)[..., 0].astype(jnp.float32)
-        box_deltas = nn.Dense(4, dtype=d, name="box_deltas")(fc).astype(jnp.float32)
-        final_boxes = box_ops.apply_deltas(det_boxes, box_deltas, clip_hw=(h, w))
-        final_scores = det_scores * jax.nn.sigmoid(cls_logit)
-
-        mask_roi = box_ops.roi_align(feats, final_boxes, out_size=14, stride=4).astype(d)
-        visible = MaskHead(dtype=d, name="visible_head")(mask_roi).astype(jnp.float32)
-        amodal = MaskHead(dtype=d, name="amodal_head")(mask_roi).astype(jnp.float32)
-        # occlusion head: classifier over mask-head features (occ = amodal - visible)
-        occ_feat = jnp.mean(mask_roi, axis=(1, 2))
-        occlusion = nn.Dense(1, dtype=d, name="occlusion")(occ_feat)[..., 0].astype(jnp.float32)
+        # ---- mask stage: HOM V -> A -> O with MLC guidance ----
+        mlc = MLCExtraction(dtype=d, name="mlc")(first_feat)[det_idx]
+        roi14 = box_ops.roi_align_multilevel(feats, det_boxes, 14, ROI_STRIDES).astype(d)
+        visible, v_feat = HOMMaskHead(n_guidance=0, dtype=d, name="visible_head")(
+            roi14, [], mlc)
+        amodal, a_feat = HOMMaskHead(n_guidance=1, dtype=d, name="amodal_head")(
+            roi14, [v_feat], mlc)
+        occlusion, _ = OccClsMaskHead(n_guidance=2, dtype=d, name="occ_head")(
+            roi14, [v_feat, a_feat], mlc)
 
         return {
-            "boxes": final_boxes,
-            "scores": final_scores,
+            "boxes": det_boxes,
+            "scores": det_scores,
             "valid": det_valid,
             "visible_masks": visible,
             "amodal_masks": amodal,
             "occlusion": occlusion,
             # training intermediates (losses assign targets to these)
-            "anchors": anchors,
-            "rpn_objectness": obj,
-            "rpn_deltas": deltas,
-            "proposal_boxes": det_boxes,
+            "anchors": jnp.concatenate(all_anchors, axis=0),
+            "rpn_objectness": jnp.concatenate(all_obj),
+            "rpn_deltas": jnp.concatenate(all_deltas, axis=0),
+            "proposal_boxes": prop_boxes,
+            "proposal_valid": prop_valid,
             "cls_logit": cls_logit,
             "box_deltas": box_deltas,
+            "det_index": det_idx,
         }
 
 
@@ -249,15 +403,17 @@ def uoais_losses(
     rpn_pos_iou: float = 0.7,
     rpn_neg_iou: float = 0.3,
     roi_pos_iou: float = 0.5,
+    occluded_rate_threshold: float = 0.05,
 ):
     """Two-stage detector losses with IoU-based target assignment.
 
     Mirrors the UOAIS-Net (ORCNN) training recipe (rcnn_heads.py): RPN
-    objectness BCE + smooth-L1 box deltas on positive anchors; ROI
-    classification BCE + box regression on matched proposals; visible AND
-    amodal mask BCE on positives (occlusion head supervised by whether the
-    amodal target exceeds the visible one). All fixed-shape: anchors/
-    proposals carry per-element weights instead of sampling.
+    objectness BCE + smooth-L1 box deltas on positive anchors (all levels
+    concatenated); ROI classification BCE + box regression on matched
+    proposals; visible AND amodal mask BCE on positives; occlusion
+    classifier = class-balanced 2-way CE on gt_occluded_rate >= 0.05
+    (rcnn_heads.py:504-514). All fixed-shape: anchors/proposals carry
+    per-element weights instead of sampling.
 
     gt_boxes [N, 4] XYXY; gt_visible/gt_amodal [N, H, W]; gt_valid [N].
     """
@@ -288,21 +444,33 @@ def uoais_losses(
 
     # ROI stage: match proposals to gt
     props = outputs["proposal_boxes"]
+    prop_valid = outputs.get("proposal_valid")
     piou = jnp.where(gt_valid[None, :], box_ops.box_iou(props, gt_boxes), 0.0)
     p_best = jnp.max(piou, axis=1)
     p_gt = jnp.argmax(piou, axis=1)
     p_pos = p_best > roi_pos_iou
+    if prop_valid is not None:
+        p_pos = p_pos & prop_valid
 
     cls = outputs["cls_logit"]
     tc = p_pos.astype(jnp.float32)
+    cw = (prop_valid if prop_valid is not None
+          else jnp.ones_like(p_pos)).astype(jnp.float32)
     cls_bce = jnp.maximum(cls, 0) - cls * tc + jnp.log1p(jnp.exp(-jnp.abs(cls)))
-    loss_cls = jnp.mean(cls_bce)
+    loss_cls = jnp.sum(cls_bce * cw) / jnp.maximum(cw.sum(), 1.0)
 
     roi_deltas_t = box_ops.boxes_to_deltas(props, gt_boxes[p_gt])
     rw = p_pos.astype(jnp.float32)[:, None]
     loss_box = jnp.sum(
         _smooth_l1(outputs["box_deltas"] - roi_deltas_t) * rw
     ) / jnp.maximum(rw.sum() * 4, 1.0)
+
+    # mask heads run on the selected detections: map detection slots back to
+    # their proposal's matched gt
+    det_idx = outputs["det_index"]
+    d_gt = p_gt[det_idx]
+    d_pos = p_pos[det_idx] & outputs["valid"]
+    det_boxes = outputs["boxes"]
 
     # mask heads: BCE against ROI-aligned GT masks of the matched instance
     def mask_loss(logits, gt_masks):
@@ -316,21 +484,25 @@ def uoais_losses(
             bce = jnp.maximum(logit, 0) - logit * target + jnp.log1p(jnp.exp(-jnp.abs(logit)))
             return jnp.mean(bce) * ok
 
-        per = jax.vmap(one)(logits, props, p_gt, p_pos.astype(jnp.float32))
-        return jnp.sum(per) / jnp.maximum(p_pos.sum(), 1.0)
+        per = jax.vmap(one)(logits, det_boxes, d_gt, d_pos.astype(jnp.float32))
+        return jnp.sum(per) / jnp.maximum(d_pos.sum(), 1.0)
 
     loss_visible = mask_loss(outputs["visible_masks"], gt_visible)
     loss_amodal = mask_loss(outputs["amodal_masks"], gt_amodal)
 
-    # occlusion: instance is occluded iff amodal has pixels visible lacks
-    occluded = (
-        jnp.sum(gt_amodal.astype(jnp.float32), axis=(1, 2))
-        > jnp.sum(gt_visible.astype(jnp.float32), axis=(1, 2)) + 16
-    ).astype(jnp.float32)
-    t_occ = occluded[p_gt]
-    occ = outputs["occlusion"]
-    occ_bce = jnp.maximum(occ, 0) - occ * t_occ + jnp.log1p(jnp.exp(-jnp.abs(occ)))
-    loss_occ = jnp.sum(occ_bce * p_pos) / jnp.maximum(p_pos.sum(), 1.0)
+    # occlusion classifier: occluded iff 1 - |visible|/|amodal| >= threshold,
+    # class-balanced CE (rcnn_heads.py:508-513 weight [1, n_noocc/n_occ])
+    vis_area = jnp.sum(gt_visible.astype(jnp.float32), axis=(1, 2))
+    amo_area = jnp.maximum(jnp.sum(gt_amodal.astype(jnp.float32), axis=(1, 2)), 1.0)
+    occluded = (1.0 - vis_area / amo_area) >= occluded_rate_threshold
+    t_occ = occluded[d_gt].astype(jnp.int32)
+    logp = jax.nn.log_softmax(outputs["occlusion"], axis=-1)
+    picked = jnp.take_along_axis(logp, t_occ[:, None], axis=-1)[:, 0]
+    n_occ = jnp.sum((t_occ == 1) & d_pos)
+    n_noocc = jnp.sum((t_occ == 0) & d_pos)
+    w_occ = jnp.where(t_occ == 1, n_noocc / jnp.maximum(n_occ, 1), 1.0)
+    w_occ = w_occ * d_pos.astype(jnp.float32)
+    loss_occ = -jnp.sum(picked * w_occ) / jnp.maximum(jnp.sum(w_occ), 1.0)
 
     return {
         "loss_rpn_objectness": loss_rpn_obj,

@@ -122,6 +122,42 @@ def boxes_to_deltas(anchors, targets):
     ], axis=-1)
 
 
+def assign_fpn_levels(boxes, min_level: int = 2, max_level: int = 5,
+                      canonical_level: int = 4, canonical_size: float = 224.0):
+    """FPN level per box: floor(k0 + log2(sqrt(area)/s0)), clamped.
+
+    The detectron2 `assign_boxes_to_levels` rule used by the reference's
+    ROIPooler (uoais ROI heads pool from ["p2","p3","p4","p5"],
+    configs/R50_rgbdconcat_mlc_occatmask_hom_concat.yaml ROI_HEADS block).
+    """
+    area = box_area(boxes)
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(jnp.maximum(area, 1e-6)) / canonical_size + 1e-8)
+    )
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def roi_align_multilevel(features: dict, boxes: jnp.ndarray, out_size: int,
+                         strides: dict, min_level: int = 2, max_level: int = 5):
+    """ROI-align from an FPN pyramid with area-based level assignment.
+
+    features: {"p2": [H2, W2, C], ...}; strides: {"p2": 4, ...}. Aligns every
+    box on every level (fixed shapes — the per-level cost is tiny at ROI
+    counts <= a few hundred) and selects the assigned level's result with a
+    one-hot mask, which XLA turns into a masked sum instead of a gather.
+    """
+    lvl = assign_fpn_levels(boxes, min_level, max_level)
+    out = None
+    for name, stride in strides.items():
+        level_idx = int(name[1:])
+        if not (min_level <= level_idx <= max_level):
+            continue
+        sel = (lvl == level_idx).astype(features[name].dtype)[:, None, None, None]
+        pooled = roi_align(features[name], boxes, out_size=out_size, stride=stride)
+        out = pooled * sel if out is None else out + pooled * sel
+    return out
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, out_size: int = 14,
               stride: int = 1, offsets: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -129,3 +129,36 @@ def test_roi_align_deformable_offsets(rng):
                                  offsets=jnp.asarray(off)))
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert not np.allclose(got, base)
+
+
+def test_assign_fpn_levels():
+    # detectron2 rule: level = floor(4 + log2(sqrt(area)/224)), clamp [2, 5]
+    boxes = np.asarray([
+        [0, 0, 32, 32],      # sqrt(area)=32  -> 4 + log2(32/224)  = 1.19 -> 2
+        [0, 0, 112, 112],    # 112 -> 4 - 1 = 3
+        [0, 0, 224, 224],    # 224 -> 4
+        [0, 0, 448, 448],    # 448 -> 5
+        [0, 0, 2000, 2000],  # huge -> clamp 5
+    ], np.float32)
+    got = np.asarray(B.assign_fpn_levels(jnp.asarray(boxes)))
+    np.testing.assert_array_equal(got, [2, 3, 4, 5, 5])
+
+
+def test_roi_align_multilevel_selects_assigned_level(rng):
+    # build a pyramid where each level is a constant = its level index;
+    # the pooled value then reveals which level each box was pooled from
+    feats = {}
+    strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32}
+    for name, s in strides.items():
+        lvl = int(name[1:])
+        feats[name] = jnp.full((256 // s, 256 // s, 1), float(lvl), jnp.float32)
+    boxes = jnp.asarray([
+        [0, 0, 32, 32],    # level 2
+        [0, 0, 224, 224],  # level 4
+        [0, 0, 250, 250],  # level 5 (sqrt area 250 -> floor(4.16) = 4... )
+    ], jnp.float32)
+    got = np.asarray(B.roi_align_multilevel(feats, boxes, 4, strides))
+    assert got.shape == (3, 4, 4, 1)
+    lvl = np.asarray(B.assign_fpn_levels(boxes))
+    for i in range(3):
+        np.testing.assert_allclose(got[i], float(lvl[i]), atol=1e-5)

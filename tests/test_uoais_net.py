@@ -23,7 +23,8 @@ def test_rgbd_fpn_levels(rng):
     out = m.apply(v, rgb, dep)
     assert out["p2"].shape == (1, 16, 16, 256)
     assert out["p3"].shape == (1, 8, 8, 256)
-    assert out["p5"].shape == (1, 4, 4, 256)
+    assert out["p5"].shape == (1, 2, 2, 256)  # standard R50: res5 stride 32
+    assert out["p6"].shape == (1, 1, 1, 256)  # LastLevelMaxPool
 
 
 def test_uoais_net_forward(rng):
@@ -35,7 +36,7 @@ def test_uoais_net_forward(rng):
     assert out["boxes"].shape == (4, 4)
     assert out["visible_masks"].shape == (4, 28, 28)
     assert out["amodal_masks"].shape == (4, 28, 28)
-    assert out["occlusion"].shape == (4,)
+    assert out["occlusion"].shape == (4, 2)  # 2-class occ classifier
     assert np.isfinite(np.asarray(out["scores"])).all()
 
 
