@@ -1,0 +1,87 @@
+"""Packed-transfer paths: RLE codec, mono-depth packing, stream equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quber_tpu.models.mask_refiner import MaskRefinerConfig
+from quber_tpu.predictor import MaskRefinerPredictor, rle_decode, rle_encode_device
+
+
+def test_rle_roundtrip_blobby():
+    rng = np.random.RandomState(3)
+    # runny map: few labels, long runs (like a grouped panoptic map)
+    flat = np.repeat(rng.randint(0, 9, size=200), rng.randint(1, 400, size=200))
+    packed, n_runs = rle_encode_device(jnp.asarray(flat.astype(np.int32)), 512)
+    n = int(n_runs)
+    assert n <= 512
+    out = rle_decode(np.asarray(packed), n, flat.size)
+    np.testing.assert_array_equal(out, flat)
+
+
+def test_rle_roundtrip_single_run():
+    flat = np.full(1000, 7, np.int32)
+    packed, n_runs = rle_encode_device(jnp.asarray(flat), 16)
+    assert int(n_runs) == 1
+    np.testing.assert_array_equal(rle_decode(np.asarray(packed), 1, 1000), flat)
+
+
+def test_rle_overflow_reports_true_count():
+    # alternating values: every pixel is a run -> overflows any small budget
+    flat = (np.arange(1000) % 2).astype(np.int32)
+    packed, n_runs = rle_encode_device(jnp.asarray(flat), 64)
+    assert int(n_runs) == 1000  # caller sees the overflow and falls back
+
+
+def _make_frames(rng, h, w, n_frames, n_masks=2):
+    from tests.conftest import random_blobs
+
+    frames = []
+    for _ in range(n_frames):
+        rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        depth1 = (rng.rand(h, w) * 255).astype(np.uint8)
+        depth = np.repeat(depth1[..., None], 3, axis=-1)  # replicated, as in
+        # the reference's normalize_depth (eval/preprocess_utils.py:12-28)
+        masks = random_blobs(rng, n_masks, h, w, min_r=4, max_r=7)
+        frames.append((rgb, depth, list(masks)))
+    return frames
+
+
+def test_stream_rle_matches_raw_and_packed(rng):
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    frames = _make_frames(rng, h, w, 5)
+
+    single = [predictor.predict_packed(*f) for f in frames]
+    raw = list(predictor.predict_batch_stream(frames, batch_size=2, use_rle=False))
+    rle = list(predictor.predict_batch_stream(frames, batch_size=2, use_rle=True))
+    assert len(raw) == len(rle) == 5
+    for (p1, c1, s1), (p2, c2, s2), (p3, c3, s3) in zip(single, raw, rle):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(p1, p3)
+        assert c1 == c2 == c3
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+        np.testing.assert_allclose(s1, s3, rtol=1e-6)
+
+
+def test_packed_mono_depth_matches_full_pipeline(rng):
+    # the packed path stores depth as one channel; with replicated input
+    # depth it must agree with the unpacked pipeline exactly
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    (rgb, depth, masks), = _make_frames(rng, h, w, 1)
+
+    pan_packed, count_packed, _ = predictor.predict_packed(rgb, depth, masks)
+
+    image = np.concatenate([rgb, depth], axis=-1).astype(np.float32)
+    mask_arr = np.zeros((8, h, w), bool)
+    for i, m in enumerate(masks):
+        mask_arr[i] = m > 0
+    valid = np.zeros((8,), bool)
+    valid[: len(masks)] = True
+    out = predictor._pipeline(
+        predictor.params, jnp.asarray(image), jnp.asarray(mask_arr), jnp.asarray(valid)
+    )
+    np.testing.assert_array_equal(pan_packed, np.asarray(out["panoptic_seg"]))
+    assert count_packed == int(out["num_instances"])
