@@ -12,10 +12,15 @@ equivalent of the published method rather than a port:
   * scorer: a small CNN over [rgb, depth-gray, mask, neighborhood-union]
     crops producing a per-node plausibility; hypothesis score = mean over
     valid nodes (the SGS-Net role)
-  * search: fixed-budget greedy hill-climbing — each round scores all
-    candidate modifications in one vmapped batch and keeps the best if it
-    improves (the CEM tree collapsed to its greedy spine, keeping the
-    whole search inside XLA)
+  * search: two modes, both fully inside XLA with fixed budgets —
+    "cem" (default): cross-entropy-method sampling over op sequences, the
+    published RICE search. Each CEM round rolls out SAMPLES random
+    trajectories of DEPTH ops (op and node drawn from learned categorical
+    parameters), scores every hypothesis in one vmapped batch, picks the
+    ELITES best, and refits the op distribution to the elite op
+    frequencies; the best hypothesis ever seen wins.
+    "greedy": one-step hill-climbing over all candidate modifications
+    (the CEM tree collapsed to its greedy spine) — cheaper, deterministic.
 """
 
 from __future__ import annotations
@@ -105,9 +110,13 @@ class RICERefiner:
 
     MAX_INST = 16
     CROP = 64
-    ROUNDS = 3
+    ROUNDS = 3       # greedy rounds
+    CEM_ROUNDS = 2   # CEM distribution-refit iterations
+    SAMPLES = 8      # trajectories per CEM round
+    DEPTH = 3        # ops per trajectory
+    ELITES = 3       # elite set size for the refit
 
-    def __init__(self, params=None, dataset="OSD", seed=0):
+    def __init__(self, params=None, dataset="OSD", seed=0, search="cem"):
         self.scorer = NodeScorer()
         if params is None:
             params = jax.jit(self.scorer.init)(
@@ -115,7 +124,11 @@ class RICERefiner:
             )
         self.params = params
         self.dataset = dataset
-        self._search = jax.jit(self._search_impl)
+        self.search_mode = search
+        self._seed = seed
+        self._search = jax.jit(
+            self._cem_search_impl if search == "cem" else self._search_impl
+        )
 
     def _score_hypothesis(self, params, image6, masks, valid):
         """Mean per-node score over valid masks (the SGS role)."""
@@ -139,26 +152,36 @@ class RICERefiner:
         ok = valid & bvalid
         return jnp.sum(node_scores * ok) / jnp.maximum(jnp.sum(ok), 1.0)
 
-    def _search_impl(self, params, image6, masks, valid):
+    # ---- candidate graph operations (fixed-shape) ----
+
+    @staticmethod
+    def _apply_merge(masks, valid, i, j):
+        merged = jnp.maximum(masks[i], masks[j])
+        masks = masks.at[i].set(merged).at[j].set(0)
+        valid = valid.at[j].set(False)
+        return masks, valid
+
+    @staticmethod
+    def _apply_split(masks, valid, i):
+        a, b = split_mask_2means(masks[i])
+        slot = jnp.argmin(valid)  # first free slot
+        free = ~valid[slot]
+        masks = masks.at[i].set(jnp.where(free, a, masks[i]))
+        masks = masks.at[slot].set(jnp.where(free, b, masks[slot]))
+        valid = valid.at[slot].set(valid[slot] | free)
+        return masks, valid
+
+    @staticmethod
+    def _apply_delete(masks, valid, i):
+        return masks.at[i].set(0), valid.at[i].set(False)
+
+    def _search_impl(self, params, image6, masks, valid, key):
+        # greedy mode ignores the PRNG key (deterministic hill-climb)
+        del key
         n = self.MAX_INST
-
-        def apply_merge(masks, valid, i, j):
-            merged = jnp.maximum(masks[i], masks[j])
-            masks = masks.at[i].set(merged).at[j].set(0)
-            valid = valid.at[j].set(False)
-            return masks, valid
-
-        def apply_split(masks, valid, i):
-            a, b = split_mask_2means(masks[i])
-            slot = jnp.argmin(valid)  # first free slot
-            free = ~valid[slot]
-            masks = masks.at[i].set(jnp.where(free, a, masks[i]))
-            masks = masks.at[slot].set(jnp.where(free, b, masks[slot]))
-            valid = valid.at[slot].set(valid[slot] | free)
-            return masks, valid
-
-        def apply_delete(masks, valid, i):
-            return masks.at[i].set(0), valid.at[i].set(False)
+        apply_merge = self._apply_merge
+        apply_split = self._apply_split
+        apply_delete = self._apply_delete
 
         def round_fn(state, _):
             masks, valid = state
@@ -211,6 +234,93 @@ class RICERefiner:
         )
         return masks, valid
 
+    def _cem_search_impl(self, params, image6, masks, valid, key):
+        """CEM sampling-tree search (the published RICE procedure).
+
+        Rolls out SAMPLES op sequences of length DEPTH from categorical
+        distributions over (op, node), scores all resulting hypotheses in
+        one vmapped batch, refits the op distribution to the ELITES best,
+        and repeats CEM_ROUNDS times. Fixed shapes throughout: invalid op
+        draws degrade to no-ops instead of changing trajectory length.
+        """
+        n, b = self.MAX_INST, self.SAMPLES
+        t, e = self.DEPTH, self.ELITES
+
+        def rollout(key, theta_op, masks, valid):
+            def step(state, key):
+                masks, valid = state
+                k_op, k_i, k_j = jax.random.split(key, 3)
+                op = jax.random.categorical(k_op, theta_op)  # 0..3
+                node_logits = jnp.where(valid, 0.0, -jnp.inf)
+                i = jax.random.categorical(k_i, node_logits)
+                adj = masks_adjacent(masks)
+                j_logits = jnp.where(adj[i] & valid, 0.0, -jnp.inf)
+                has_partner = jnp.any(adj[i] & valid)
+                j = jnp.where(
+                    has_partner, jax.random.categorical(k_j, j_logits), i
+                )
+                # validity gates: an illegal draw becomes a no-op
+                can_delete = valid[i] & (jnp.sum(valid) > 1)
+                can_split = valid[i] & (jnp.sum(masks[i]) > 512) & ~jnp.all(valid)
+                can_merge = valid[i] & has_partner
+                op = jnp.where(
+                    ((op == 1) & ~can_delete)
+                    | ((op == 2) & ~can_split)
+                    | ((op == 3) & ~can_merge),
+                    0,
+                    op,
+                )
+                masks, valid = jax.lax.switch(
+                    op,
+                    [
+                        lambda m, v, i, j: (m, v),
+                        lambda m, v, i, j: self._apply_delete(m, v, i),
+                        lambda m, v, i, j: self._apply_split(m, v, i),
+                        lambda m, v, i, j: self._apply_merge(m, v, i, j),
+                    ],
+                    masks, valid, i, j,
+                )
+                return (masks, valid), op
+
+            (masks, valid), ops = jax.lax.scan(
+                step, (masks, valid), jax.random.split(key, t)
+            )
+            return masks, valid, ops
+
+        base_score = self._score_hypothesis(params, image6, masks, valid)
+        # op prior: mostly small edits — favor no-op least, real ops evenly
+        theta_op = jnp.log(jnp.asarray([0.1, 0.3, 0.3, 0.3]))
+        best = (base_score, masks, valid)
+
+        def cem_round(carry, key):
+            theta_op, best = carry
+            keys = jax.random.split(key, b)
+            h_masks, h_valid, h_ops = jax.vmap(
+                lambda k: rollout(k, theta_op, masks, valid)
+            )(keys)
+            scores = jax.vmap(
+                lambda m, v: self._score_hypothesis(params, image6, m, v)
+            )(h_masks, h_valid)
+            # elite refit: op frequencies of the top-e trajectories
+            _, elite_idx = jax.lax.top_k(scores, e)
+            elite_ops = h_ops[elite_idx]  # [e, t]
+            freq = jnp.mean(jax.nn.one_hot(elite_ops, 4), axis=(0, 1))
+            theta_op = jnp.log(freq + 0.05)
+            # track the best hypothesis ever seen
+            r_best = jnp.argmax(scores)
+            better = scores[r_best] > best[0]
+            best = (
+                jnp.where(better, scores[r_best], best[0]),
+                jnp.where(better, h_masks[r_best], best[1]),
+                jnp.where(better, h_valid[r_best], best[2]),
+            )
+            return (theta_op, best), scores[r_best]
+
+        (_, best), _ = jax.lax.scan(
+            cem_round, (theta_op, best), jax.random.split(key, self.CEM_ROUNDS)
+        )
+        return best[1], best[2]
+
     def predict(self, rgb_path, depth_path, initial_masks, fg_mask):
         import time
 
@@ -231,7 +341,8 @@ class RICERefiner:
 
         t0 = time.time()
         out_masks, out_valid = self._search(
-            self.params, jnp.asarray(image6), jnp.asarray(masks), jnp.asarray(valid)
+            self.params, jnp.asarray(image6), jnp.asarray(masks),
+            jnp.asarray(valid), jax.random.PRNGKey(self._seed),
         )
         out_masks = np.asarray(out_masks) > 0.5
         out_valid = np.asarray(out_valid) & (out_masks.sum((1, 2)) > 0)

@@ -42,3 +42,59 @@ def test_node_scorer_shapes(rng):
     out = m.apply(v, x)
     assert out.shape == (4,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _tiny_refiner(search):
+    from quber_tpu.models.rice import RICERefiner
+
+    class TinyRICE(RICERefiner):
+        MAX_INST = 4
+        CROP = 16
+        ROUNDS = 2
+        SAMPLES = 3
+        DEPTH = 2
+        CEM_ROUNDS = 2
+        ELITES = 2
+
+    return TinyRICE(search=search)
+
+
+def _tiny_scene(rng):
+    h = w = 32
+    image6 = rng.rand(h, w, 6).astype(np.float32)
+    masks = np.zeros((4, h, w), np.float32)
+    masks[0, 4:16, 4:16] = 1    # two adjacent halves of one object
+    masks[1, 4:16, 17:28] = 1
+    masks[2, 20:30, 20:30] = 1  # a separate object
+    valid = np.asarray([True, True, True, False])
+    return image6, masks, valid
+
+
+def test_cem_search_runs_and_respects_union(rng):
+    ref = _tiny_refiner("cem")
+    image6, masks, valid = _tiny_scene(rng)
+    out_m, out_v = ref._search(ref.params, jnp.asarray(image6),
+                               jnp.asarray(masks), jnp.asarray(valid),
+                               jax.random.PRNGKey(0))
+    out_m, out_v = np.asarray(out_m), np.asarray(out_v)
+    assert out_m.shape == (4, 32, 32) and out_v.shape == (4,)
+    assert out_v.sum() >= 1
+    # ops only delete/split/merge: the union can never grow
+    union0 = masks.max(0) > 0
+    union1 = out_m.max(0) > 0.5
+    assert not (union1 & ~union0).any()
+    # deterministic under the same key
+    out_m2, out_v2 = ref._search(ref.params, jnp.asarray(image6),
+                                 jnp.asarray(masks), jnp.asarray(valid),
+                                 jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(out_m, np.asarray(out_m2))
+
+
+def test_greedy_search_still_available(rng):
+    ref = _tiny_refiner("greedy")
+    image6, masks, valid = _tiny_scene(rng)
+    out_m, out_v = ref._search(ref.params, jnp.asarray(image6),
+                               jnp.asarray(masks), jnp.asarray(valid),
+                               jax.random.PRNGKey(0))
+    assert np.asarray(out_m).shape == (4, 32, 32)
+    assert np.asarray(out_v).sum() >= 1
