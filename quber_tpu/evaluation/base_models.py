@@ -113,7 +113,20 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         from quber_tpu.models.uoais_net import UOAISNetBaseModel
 
         return UOAISNetBaseModel(dataset=dataset, amodal=True)
+    if name == "sam":
+        from quber_tpu.models.sam_refiner import SAMAutomaticBaseModel
+
+        return SAMAutomaticBaseModel(dataset=dataset)
+    if name == "detic":
+        from quber_tpu.models.open_vocab import DeticBaseModel
+
+        return DeticBaseModel(dataset=dataset)
+    if name == "grounded-sam":
+        from quber_tpu.models.open_vocab import GroundedSAMBaseModel
+
+        return GroundedSAMBaseModel(dataset=dataset)
     raise NotImplementedError(
         f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn, "
-        "msmformer, uoisnet3d, uoaisnet, uoaisnet-amodal"
+        "msmformer, uoisnet3d, uoaisnet, uoaisnet-amodal, sam, detic, "
+        "grounded-sam"
     )

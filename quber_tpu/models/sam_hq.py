@@ -148,9 +148,12 @@ class MaskPromptEncoder(nn.Module):
 class PointPromptEncoder(nn.Module):
     """Sparse point prompts -> tokens (prompt_encoder.py point path):
     random-Fourier positional encoding of normalized coords + a learned
-    label embedding (1 = foreground point, 0 = background point)."""
+    label embedding (0 = background point, 1 = foreground point,
+    2 = box top-left corner, 3 = box bottom-right corner — the reference
+    prompt_encoder.py box path encodes a box as these two labeled points)."""
 
     embed_dim: int = 256
+    num_labels: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -162,7 +165,8 @@ class PointPromptEncoder(nn.Module):
         proj = (2.0 * points - 1.0) @ gauss * (2 * np.pi)
         pe = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
         label_embed = self.param(
-            "label_embed", nn.initializers.normal(0.02), (2, self.embed_dim)
+            "label_embed", nn.initializers.normal(0.02),
+            (self.num_labels, self.embed_dim),
         )
         return (pe + label_embed[labels]).astype(self.dtype)
 
@@ -282,6 +286,18 @@ class SAMHQ(nn.Module):
         dense = jnp.zeros_like(image_embed)
         return self.decoder(image_embed, dense, early_feat, point_tokens=tokens)
 
+    def decode_box(self, image_embed, early_feat, boxes):
+        """Box-prompted decode: boxes [B, 4] XYXY normalized to [0,1].
+        A box is its two corners as labeled points (prompt_encoder.py
+        _embed_boxes semantics: labels 2 and 3)."""
+        corners = jnp.stack(
+            [boxes[:, :2], boxes[:, 2:]], axis=1
+        )  # [B, 2, 2] (x0,y0), (x1,y1)
+        labels = jnp.broadcast_to(
+            jnp.asarray([2, 3], jnp.int32), corners.shape[:2]
+        )
+        return self.decode_points(image_embed, early_feat, corners, labels)
+
     def __call__(self, image, mask_prompt):
         image_embed, early = self.encode(image)
         return self.decode(image_embed, early, mask_prompt)
@@ -301,6 +317,7 @@ def init_sam_variables(model: SAMHQ, rng) -> dict:
     def both(mdl):
         embed, early = mdl.encode(img)
         mdl.decode(embed, early, mask_prompt)
+        mdl.decode_box(embed, early, jnp.zeros((1, 4)))
         return mdl.decode_points(embed, early, pts, labels)
 
     return fnn.init(both, model)(rng)
