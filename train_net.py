@@ -17,7 +17,14 @@ import time
 
 
 def synthetic_records(n, h, w, seed=0):
-    """In-memory dataset records exercising the full mapper path."""
+    """In-memory dataset records exercising the full mapper path.
+
+    Objects are RENDERED into rgb/depth (distinct colors, nearer depth with
+    a per-object step) so that refinement is actually learnable from the
+    image — training on these scenes demonstrably improves boundary/overlap
+    F over the perturbed initial masks (see tests/test_train.py's
+    learns-to-refine check and tools/selfcheck_train.py).
+    """
     import numpy as np
 
     from quber_tpu.data import rle
@@ -27,20 +34,31 @@ def synthetic_records(n, h, w, seed=0):
     ys, xs = np.mgrid[:h, :w]
     records = []
     for i in range(n):
+        rgb = np.full((h, w, 3), rng.randint(30, 90, 3), np.uint8)
+        rgb = np.clip(
+            rgb.astype(np.int32) + rng.randint(-12, 13, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        depth = np.full((h, w), rng.uniform(9000, 12000), np.float32)
         masks = []
         margin = max(8, min(h, w) // 8)
         r_max = max(10, min(h, w) // 8)
-        for _ in range(rng.randint(2, 6)):
+        for k in range(rng.randint(2, 6)):
             cy, cx = rng.randint(margin, h - margin), rng.randint(margin, w - margin)
             r = rng.randint(r_max // 2, r_max)
-            masks.append(((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r).astype(np.uint8))
+            m = ((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r).astype(np.uint8)
+            masks.append(m)
+            color = rng.randint(110, 255, 3)
+            rgb[m > 0] = np.clip(
+                color + rng.randint(-10, 11, (int(m.sum()), 3)), 0, 255
+            )
+            depth[m > 0] = rng.uniform(3500, 7000) - k * 150
         pert = perturb_masks(np.asarray(masks), rng, target_iou=(0.7, 0.95))
         records.append({
             "gt_masks": np.asarray(masks),
             "perturbed_segmentation": [rle.encode(m) for m in pert],
             "height": h, "width": w,
-            "rgb": (rng.rand(h, w, 3) * 255).astype(np.uint8),
-            "depth_mm": rng.uniform(3000, 12000, (h, w)).astype(np.float32),
+            "rgb": rgb,
+            "depth_mm": depth,
         })
     return records
 
