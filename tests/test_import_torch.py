@@ -128,3 +128,26 @@ def test_mask_refiner_import_roundtrip():
     )
     for k in out_a:
         np.testing.assert_array_equal(np.asarray(out_a[k]), np.asarray(out_b[k]))
+
+
+def test_load_torch_checkpoint_and_orbax_glue(tmp_path):
+    """tools/import_checkpoint.py glue: .pth loading + orbax params payload."""
+    import torch
+
+    from quber_tpu.train.checkpoint import restore_params, save_params
+
+    sd = {"backbone.res2.conv1.weight": torch.randn(8, 4, 3, 3),
+          "head.bias": torch.zeros(5)}
+    path = tmp_path / "model_final.pth"
+    torch.save({"model": sd}, str(path))
+    loaded = IT.load_torch_checkpoint(str(path))
+    assert set(loaded) == set(sd)
+    assert loaded["backbone.res2.conv1.weight"].shape == (8, 4, 3, 3)
+
+    variables = {"params": {"w": np.ones((2, 3), np.float32)},
+                 "batch_stats": {"m": np.zeros((3,), np.float32)}}
+    save_params(str(tmp_path / "ckpt"), variables)
+    back = restore_params(str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(back["params"]["w"], variables["params"]["w"])
+    np.testing.assert_array_equal(back["batch_stats"]["m"],
+                                  variables["batch_stats"]["m"])
