@@ -72,11 +72,87 @@ def _load_yaml_with_base(path: str) -> dict:
 
 def load_config(path: str) -> tuple[MaskRefinerConfig, TrainConfig]:
     """Native flat YAML: top-level keys 'model' and 'train' with dataclass
-    field names; supports _BASE_ inheritance."""
+    field names; supports _BASE_ inheritance.
+
+    A path that does not exist on disk but reads as an ablation-grid name
+    (mask_refiner_<modality>_<fusion>_l<N>_... — the reference's config
+    naming scheme) is decoded by config_from_name, so the whole grid is
+    addressable without per-point files."""
+    if not os.path.exists(path):
+        name = os.path.splitext(os.path.basename(path))[0].replace("-", "_")
+        if name.startswith("mask_refiner"):
+            return config_from_name(name)
+        raise FileNotFoundError(path)
     data = _load_yaml_with_base(path)
     model_kwargs = _coerce(MaskRefinerConfig, data.get("model", {}))
     train_kwargs = _coerce(TrainConfig, data.get("train", {}))
     return MaskRefinerConfig(**model_kwargs), TrainConfig(**train_kwargs)
+
+
+# the reference encodes its ablation grid in config-file NAMES
+# (configs/uoais-sim/instance-segmentation/mask-refiner-*.yaml): modality /
+# fusion strategy / backbone-fusion layers / norm / hierarchical fusion /
+# hierarchy order (single letters, grouped = same level) / head-fusion
+# layers / error type / batch
+_HIER_LETTERS = {"m": "eee_mask", "b": "eee_boundary", "f": "foreground",
+                 "c": "center", "o": "offset"}
+
+
+def config_from_name(name: str) -> tuple[MaskRefinerConfig, TrainConfig]:
+    """Decode a reference-style grid name into configs.
+
+    Examples: mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8 (the
+    flagship), mask_refiner_rgbd_add_l3, mask_refiner_rgb_only,
+    mask_refiner_rgbd_concat_l2_gn_hf_fco_m_b_l3_e2_b8 (grouped level).
+    Defaults for unnamed axes come from Base-Mask-Refiner.yaml (add/l3/
+    GN/e2/b4, no hierarchical fusion).
+    """
+    tokens = name.replace("-", "_").split("_")
+    if tokens[:2] == ["mask", "refiner"]:
+        tokens = tokens[2:]
+    # Base-Mask-Refiner.yaml defaults for axes the name leaves out
+    model: dict[str, Any] = {
+        "fusion_strategy": "add",
+        "num_backbone_fusion_layers": 3,
+        "hierarchical_fusion_on": False,
+    }
+    train: dict[str, Any] = {"batch_size": 4}
+    hierarchy: list[tuple[str, ...]] = []
+    seen_hf = False
+    for tok in tokens:
+        if not tok or tok in ("only", "augmented", "yaml"):
+            continue  # "only" consumed with rgb/depth; augmented = dataset
+        if tok == "rgbd":
+            model["rgb_on"] = model["depth_on"] = True
+        elif tok == "rgb":
+            model["rgb_on"], model["depth_on"] = True, False
+        elif tok == "depth":
+            model["rgb_on"], model["depth_on"] = False, True
+        elif tok in ("concat", "add"):
+            model["fusion_strategy"] = tok
+        elif tok in ("gn", "bn", "syncbn"):
+            model["norm"] = {"gn": "GN", "bn": "BN", "syncbn": "SyncBN"}[tok]
+        elif tok == "hf":
+            model["hierarchical_fusion_on"] = True
+            seen_hf = True
+        elif tok[0] == "l" and tok[1:].isdigit():
+            key = ("num_head_fusion_layers" if seen_hf
+                   else "num_backbone_fusion_layers")
+            model[key] = int(tok[1:])
+        elif tok[0] == "e" and tok[1:].isdigit():
+            model["error_type"] = tok
+        elif tok[0] == "b" and tok[1:].isdigit():
+            train["batch_size"] = int(tok[1:])
+        elif all(c in _HIER_LETTERS for c in tok):
+            hierarchy.append(tuple(_HIER_LETTERS[c] for c in tok))
+        else:
+            raise ValueError(f"unrecognized grid token {tok!r} in {name!r}")
+    if hierarchy:
+        model["hierarchy"] = tuple(hierarchy)
+        letters = [h for level in hierarchy for h in level]
+        model["eee_mask_on"] = "eee_mask" in letters
+        model["eee_boundary_on"] = "eee_boundary" in letters
+    return MaskRefinerConfig(**model), TrainConfig(**train)
 
 
 def _coerce(cls, kwargs: dict) -> dict:

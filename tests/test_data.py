@@ -111,3 +111,44 @@ def test_grain_pipeline(rng, blobs):
         b = next(it)
         seen.update(int(i) for i in b["idx"])
     assert seen == {0, 1, 2, 3, 4}
+
+
+def test_config_from_name_grid():
+    from quber_tpu.config import config_from_name, load_config
+
+    # flagship name == flagship YAML
+    m1, t1 = config_from_name("mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8")
+    m2, t2 = load_config("configs/mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8.yaml")
+    assert m1.fusion_strategy == m2.fusion_strategy == "concat"
+    assert m1.num_backbone_fusion_layers == m2.num_backbone_fusion_layers == 2
+    assert m1.hierarchical_fusion_on and m2.hierarchical_fusion_on
+    assert m1.hierarchy == m2.hierarchy
+    assert m1.num_head_fusion_layers == m2.num_head_fusion_layers == 3
+    assert m1.error_type == m2.error_type == "e2"
+    assert t1.batch_size == t2.batch_size == 8
+
+    # grouped hierarchy level: fco together, then m, then b
+    m, _ = config_from_name("mask-refiner-rgbd-concat-l2-gn-hf-fco-m-b-l3-e2-b8")
+    assert m.hierarchy == (("foreground", "center", "offset"),
+                           ("eee_mask",), ("eee_boundary",))
+
+    # no-EEE variant: heads limited to the named letters
+    m, _ = config_from_name("mask-refiner-rgbd-concat-l2-gn-hf-f-c-o-l3-e2-b8")
+    assert not m.eee_mask_on and not m.eee_boundary_on
+
+    # unnamed axes fall back to Base defaults (add/l3/no-hf/b4)
+    m, t = config_from_name("mask_refiner_rgbd_concat_l2_b2")
+    assert not m.hierarchical_fusion_on and t.batch_size == 2
+    m, t = config_from_name("mask_refiner_rgbd_add_l3")
+    assert m.fusion_strategy == "add" and m.num_backbone_fusion_layers == 3
+    assert t.batch_size == 4
+
+    # modality ablations
+    m, _ = config_from_name("mask_refiner_rgb_only")
+    assert m.rgb_on and not m.depth_on
+    m, _ = config_from_name("mask_refiner_depth_only")
+    assert m.depth_on and not m.rgb_on
+
+    # load_config falls through to the name decoder for nonexistent paths
+    m, _ = load_config("mask-refiner-rgbd-add-l3-b2.yaml")
+    assert m.fusion_strategy == "add" and m.num_backbone_fusion_layers == 3
