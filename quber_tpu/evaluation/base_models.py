@@ -100,7 +100,7 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
     if name in ("msmformer", "msmformer-zoomin"):
         from quber_tpu.models.msmformer import MSMFormerBaseModel
 
-        return MSMFormerBaseModel(dataset=dataset)
+        return MSMFormerBaseModel(dataset=dataset, zoom_in=name.endswith("zoomin"))
     if name == "uoisnet3d":
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 

@@ -289,9 +289,19 @@ def masks_from_queries(mask_logits, objectness, score_threshold=0.5,
 
 
 class MSMFormerBaseModel:
-    """Eval-harness wrapper (mirrors the reference MSMFormer wrapper flow)."""
+    """Eval-harness wrapper (mirrors the reference MSMFormer wrapper flow,
+    base_model.py:1257-1350): full-image forward, then an optional zoom-in
+    second stage that re-runs the network on padded square crops around
+    each instance and keeps the dominant refined component (crop_rois /
+    match_label_crop :843-961). The reference uses separately-trained crop
+    weights for stage two — pass params_crop to mirror that; defaults to
+    sharing the full-image weights."""
 
-    def __init__(self, params=None, dataset="OSD", seed=0, num_queries=50):
+    ZOOM = 224
+    MAX_INST = 16
+
+    def __init__(self, params=None, dataset="OSD", seed=0, num_queries=50,
+                 zoom_in=False, params_crop=None):
         self.model = MSMFormer(num_queries=num_queries, dtype=jnp.bfloat16)
         if params is None:
             params = jax.jit(self.model.init)(
@@ -300,13 +310,51 @@ class MSMFormerBaseModel:
                 jnp.zeros((1, 480, 640, 3)),
             )
         self.params = params
+        self.params_crop = params_crop if params_crop is not None else params
         self.dataset = dataset
+        self.zoom_in = zoom_in
 
-        def pipeline(params, rgb, xyz):
+        def pipeline(params, params_crop, rgb, xyz):
             out = self.model.apply(params, rgb[None], xyz[None])
             labels, n = masks_from_queries(out["mask_logits"][0], out["objectness"][0])
-            full = jax.image.resize(labels.astype(jnp.float32), (480, 640), "nearest")
-            return full.astype(jnp.int32), n
+            full = jax.image.resize(
+                labels.astype(jnp.float32), (480, 640), "nearest"
+            ).astype(jnp.int32)
+            if not zoom_in:
+                return full, n
+
+            from quber_tpu.ops.boxes import roi_align
+            from quber_tpu.ops.zoom import zoom_refine_labels
+
+            z = self.ZOOM
+
+            def refine_one(box, ok, inst_id):
+                crop_rgb = roi_align(rgb, box[None], out_size=z)[0]
+                crop_xyz = roi_align(xyz, box[None], out_size=z)[0]
+                out2 = self.model.apply(
+                    params_crop, crop_rgb[None], crop_xyz[None]
+                )
+                lab2, _ = masks_from_queries(
+                    out2["mask_logits"][0], out2["objectness"][0]
+                )
+                lab2 = jax.image.resize(
+                    lab2.astype(jnp.float32), (z, z), "nearest"
+                ).astype(jnp.int32)
+                # dominant refined component inside the original instance's
+                # crop region (match_label_crop)
+                crop_lab = roi_align(
+                    (full == inst_id).astype(jnp.float32)[..., None],
+                    box[None], out_size=z,
+                )[0, ..., 0]
+                overlap = jnp.where(crop_lab > 0.5, lab2, 0)
+                counts = jnp.bincount(
+                    overlap.reshape(-1), length=self.model.num_queries + 1
+                ).at[0].set(0)
+                main = jnp.argmax(counts)
+                return ((lab2 == main) & (main > 0) & ok).astype(jnp.float32)
+
+            refined = zoom_refine_labels(full, refine_one, self.MAX_INST, z)
+            return refined, n
 
         self._pipeline = jax.jit(pipeline)
 
@@ -331,7 +379,8 @@ class MSMFormerBaseModel:
                                     "y_offset": 240.0, "img_width": 640,
                                     "img_height": 480})
         t0 = time.time()
-        labels, n = self._pipeline(self.params, jnp.asarray(rgb_in), jnp.asarray(xyz))
+        labels, n = self._pipeline(self.params, self.params_crop,
+                                   jnp.asarray(rgb_in), jnp.asarray(xyz))
         labels, n = np.asarray(labels), int(n)
         elapsed = time.time() - t0
         masks = labels[None] == np.arange(1, n + 1)[:, None, None]

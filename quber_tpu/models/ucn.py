@@ -123,34 +123,9 @@ def prototype_metric_loss(embeddings, labels, max_instances: int = 32,
     return intra + inter, {"loss_intra": intra, "loss_inter": inter}
 
 
-def instance_boxes_from_labels(labels: jnp.ndarray, max_instances: int,
-                               pad_ratio: float = 0.4):
-    """Per-instance expanded bounding boxes XYXY from a label map
-    (crop_rois semantics, base_model.py:843-896)."""
-    h, w = labels.shape
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    ids = jnp.arange(1, max_instances + 1)
-    masks = labels[None] == ids[:, None, None]
-    big = 1e9
-
-    def minmax(coord):
-        mn = jnp.min(jnp.where(masks, coord[None], big), axis=(1, 2))
-        mx = jnp.max(jnp.where(masks, coord[None], -big), axis=(1, 2))
-        return mn, mx
-
-    y0, y1 = minmax(jnp.broadcast_to(ys, (h, w)))
-    x0, x1 = minmax(jnp.broadcast_to(xs, (h, w)))
-    cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
-    bh = (y1 - y0) * (1 + pad_ratio) + 8
-    bw = (x1 - x0) * (1 + pad_ratio) + 8
-    side = jnp.maximum(bh, bw)  # square crops keep aspect
-    boxes = jnp.stack([
-        jnp.clip(cx - side / 2, 0, w), jnp.clip(cy - side / 2, 0, h),
-        jnp.clip(cx + side / 2, 0, w), jnp.clip(cy + side / 2, 0, h),
-    ], axis=-1)
-    valid = jnp.any(masks, axis=(1, 2))
-    return jnp.where(valid[:, None], boxes, 0.0), valid
+# shared with the MSMFormer zoom-in stage; kept importable from here for
+# backward compatibility (rice.py and tests import it from this module)
+from quber_tpu.ops.zoom import instance_boxes_from_labels  # noqa: E402
 
 
 class UCNBaseModel:
@@ -189,9 +164,9 @@ class UCNBaseModel:
                 return out
 
             from quber_tpu.ops.boxes import roi_align
+            from quber_tpu.ops.zoom import zoom_refine_labels
 
             labels = out["labels"]
-            boxes, bvalid = instance_boxes_from_labels(labels, self.MAX_INST)
             z = self.ZOOM
 
             def refine_one(box, ok, inst_id):
@@ -212,36 +187,7 @@ class UCNBaseModel:
                 main = jnp.argmax(counts)
                 return ((ref["labels"] == main) & (main > 0) & ok).astype(jnp.float32)
 
-            crops = jax.vmap(refine_one)(
-                boxes, bvalid, jnp.arange(1, self.MAX_INST + 1)
-            )  # [MAX_INST, z, z]
-
-            # paste refined crops back to full res (nearest) — later
-            # instances overwrite, mirroring the reference's paste order
-            h, w = labels.shape
-            full = labels
-
-            def paste(full, args):
-                crop, box, ok, inst_id = args
-                ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-                xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-                gy = (ys + 0.5 - box[1]) / jnp.maximum(box[3] - box[1], 1e-3) * z - 0.5
-                gx = (xs + 0.5 - box[0]) / jnp.maximum(box[2] - box[0], 1e-3) * z - 0.5
-                inside = (gy >= 0) & (gy < z) & (gx >= 0) & (gx < z)
-                val = crop[
-                    jnp.clip(jnp.round(gy), 0, z - 1).astype(jnp.int32),
-                    jnp.clip(jnp.round(gx), 0, z - 1).astype(jnp.int32),
-                ]
-                refined_mask = inside & (val > 0.5) & ok
-                # replace this instance's region with its refined mask
-                full = jnp.where((full == inst_id) & ~refined_mask, 0, full)
-                full = jnp.where(refined_mask, inst_id, full)
-                return full, None
-
-            full, _ = jax.lax.scan(
-                paste, full,
-                (crops, boxes, bvalid, jnp.arange(1, self.MAX_INST + 1)),
-            )
+            full = zoom_refine_labels(labels, refine_one, self.MAX_INST, z)
             return {"labels": full, "num_instances": out["num_instances"],
                     "seeds": out["seeds"]}
 
