@@ -42,26 +42,32 @@ def main():
     rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
     depth = (rng.rand(h, w, 3) * 255).astype(np.uint8)
 
-    # warmup: compile BOTH pipelines + first (slow) D2H through the transport
-    pan, count, scores = predictor.predict_packed(rgb, depth, masks)
-    # params are random (perf is weight-independent); check shape sanity only
-    assert pan.shape == (h, w) and 0 <= count <= 24, (pan.shape, count)
-    predictor.predict_batch([(rgb, depth, masks)] * 8)
+    # warmup: compile the streaming pipeline + first (slow) D2H through the
+    # transport. params are random (perf is weight-independent); sanity-check
+    # shapes only.
+    batch_size = 16
+    frames_warm = [(rgb, depth, masks)] * batch_size
+    for pan, count, scores in predictor.predict_batch_stream(
+        frames_warm, batch_size=batch_size
+    ):
+        assert pan.shape == (h, w) and 0 <= count <= 24, (pan.shape, count)
 
-    # timed: batched streaming refine (device batches of 8 with double
-    # buffering: input packing + H2D + encode/forward/group on device + D2H
-    # of the panoptic results). Throughput metric, matching the harness's
-    # batch eval workload; per-image sync latency is bounded below by the
-    # transport round-trip on tunneled TPUs.
+    # timed: batched streaming refine (producer-thread pipeline: input
+    # packing + H2D + dispatch run up to 2 batches ahead of the consumer's
+    # blocking D2H, so transport and device compute overlap). Throughput
+    # metric, matching the harness's batch eval workload; per-image sync
+    # latency is bounded below by the transport round-trip on tunneled TPUs.
     # median of 3 trials: the transport to tunneled TPUs has multi-second
     # congestion swings that would otherwise dominate the measurement
-    iters = 48
+    iters = 96
     frames = [(rgb, depth, masks)] * iters
     rates = []
     for _ in range(3):
         t0 = time.time()
         n_out = 0
-        for pan, count, scores in predictor.predict_batch_stream(frames, batch_size=8):
+        for pan, count, scores in predictor.predict_batch_stream(
+            frames, batch_size=batch_size
+        ):
             n_out += 1
         assert n_out == iters
         rates.append(iters / (time.time() - t0))

@@ -365,9 +365,16 @@ class MaskRefinerPredictor:
         return [self._unpack_outputs(out[i]) for i in range(len(frames))]
 
     def predict_batch_stream(self, frames, batch_size: int = 8,
-                             use_rle: bool | None = None):
-        """Stream frames in fixed-size device batches with double buffering
-        (the last partial batch is padded with its first frame).
+                             use_rle: bool | None = None, prefetch: int = 2):
+        """Stream frames in fixed-size device batches with a producer-thread
+        pipeline (the last partial batch is padded with its first frame).
+
+        A single producer thread packs inputs, transfers them, and dispatches
+        the jitted pipeline up to `prefetch` batches ahead of the consumer,
+        so host packing + H2D of batch t+1 overlap device compute of batch t
+        and the consumer's (blocking) D2H of batch t-1. On the tunneled TPU
+        this pipelining is worth ~2.5x end-to-end throughput — the transport
+        serializes otherwise. `prefetch=0` runs everything inline.
 
         Results come back run-length encoded (one bulk u8 buffer per batch;
         raw panoptic maps stay on device as the overflow fallback) whenever
@@ -377,13 +384,10 @@ class MaskRefinerPredictor:
         """
         if use_rle is None:
             use_rle = batch_size * self._rle_bytes >= 320_000
-        pending = None  # ((device buffers), real_count)
-        batch = []
 
         def flush(batch):
             real = len(batch)
-            while len(batch) < batch_size:
-                batch.append(batch[0])
+            batch = batch + [batch[0]] * (batch_size - real)
             bufs = jnp.asarray(np.stack([self._pack_inputs(*f) for f in batch]))
             if use_rle:
                 return self._pipeline_packed_batch_rle(self.params, bufs), real
@@ -394,30 +398,76 @@ class MaskRefinerPredictor:
             if use_rle:
                 rle, raw = out
                 host = np.asarray(rle)
+                # If any frame overflowed the RLE run budget, fetch the raw
+                # maps for the WHOLE batch in one bulk D2H: per-frame raw
+                # fetches fall below the transport's bulk-transfer threshold
+                # and cost ~10x more than one batched readback.
+                n_runs = host[:real, :4].copy().view(np.uint32)[:, 0]
+                raw_host = (
+                    np.asarray(raw) if (n_runs > self.max_rle_runs).any() else None
+                )
                 for i in range(real):
                     yield self._unpack_outputs_rle(
-                        host[i], lambda i=i: np.asarray(raw[i])
+                        host[i], lambda i=i: raw_host[i]
                     )
             else:
                 host = np.asarray(out)
                 for i in range(real):
                     yield self._unpack_outputs(host[i])
 
-        for frame in frames:
-            batch.append(frame)
-            if len(batch) == batch_size:
-                nxt = flush(batch)
-                batch = []
-                if pending is not None:
-                    yield from drain(pending)
-                pending = nxt
-        if batch:
-            nxt = flush(batch)
-            if pending is not None:
-                yield from drain(pending)
-            pending = nxt
-        if pending is not None:
-            yield from drain(pending)
+        def batches():
+            batch = []
+            for frame in frames:
+                batch.append(frame)
+                if len(batch) == batch_size:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+
+        if prefetch <= 0:
+            for batch in batches():
+                yield from drain(flush(batch))
+            return
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+        _END, _ERR = object(), object()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False  # consumer abandoned the generator
+
+        def producer():
+            try:
+                for batch in batches():
+                    if not put(flush(batch)):
+                        return
+                put(_END)
+            except BaseException as e:  # surface in the consumer
+                put((_ERR, e))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, tuple) and item[0] is _ERR:
+                    raise item[1]
+                yield from drain(item)
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
 
     def predict_stream(self, frames):
         """Generator over (rgb, depth, masks) frames with double buffering:

@@ -64,6 +64,29 @@ def test_stream_rle_matches_raw_and_packed(rng):
         np.testing.assert_allclose(s1, s3, rtol=1e-6)
 
 
+def test_stream_inline_matches_threaded_and_overflow_fallback(rng):
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    # tiny run budget: every frame overflows -> exercises the bulk raw-map
+    # fallback inside drain (random params produce fragmented maps anyway)
+    predictor.max_rle_runs = 8
+    predictor._rle_bytes = 4 + 4 * 8 + 1 + 4 * predictor._scores_len
+    frames = _make_frames(rng, h, w, 5)
+
+    inline = list(
+        predictor.predict_batch_stream(frames, batch_size=2, use_rle=True, prefetch=0)
+    )
+    threaded = list(
+        predictor.predict_batch_stream(frames, batch_size=2, use_rle=True, prefetch=2)
+    )
+    assert len(inline) == len(threaded) == 5
+    for (p1, c1, s1), (p2, c2, s2) in zip(inline, threaded):
+        np.testing.assert_array_equal(p1, p2)
+        assert c1 == c2
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
 def test_packed_mono_depth_matches_full_pipeline(rng):
     # the packed path stores depth as one channel; with replicated input
     # depth it must agree with the unpacked pipeline exactly
