@@ -121,6 +121,10 @@ class MaskRefinerPredictor:
         # panoptic maps with a wide margin; overflow falls back to the raw map
         self.max_rle_runs = max(1024, (h * w) // 25)
         self._rle_bytes = 4 + 4 * self.max_rle_runs + 1 + 4 * self._scores_len
+        # set when a whole streamed batch overflows the RLE run budget (the
+        # model is producing fragmented maps, e.g. untrained weights): the
+        # raw-map path is then strictly cheaper than RLE + raw fallback
+        self._rle_fragmenting = False
 
     def _use_pallas(self):
         use_pallas = self.config.use_pallas_grouping
@@ -379,23 +383,30 @@ class MaskRefinerPredictor:
         Results come back run-length encoded (one bulk u8 buffer per batch;
         raw panoptic maps stay on device as the overflow fallback) whenever
         the batched RLE buffer is large enough for the bulk D2H path;
-        otherwise the raw-map batch path is used. `use_rle` overrides the
-        auto choice (tests / directly-attached TPUs).
+        otherwise the raw-map batch path is used. If a whole batch overflows
+        the RLE run budget (fragmented maps, e.g. untrained weights), the
+        stream adaptively switches to the raw path, which is then strictly
+        cheaper. `use_rle` pins the choice (tests / directly-attached TPUs).
         """
-        if use_rle is None:
-            use_rle = batch_size * self._rle_bytes >= 320_000
+        forced = use_rle is not None
+        mode = {
+            "rle": use_rle if forced else (
+                batch_size * self._rle_bytes >= 320_000
+                and not self._rle_fragmenting
+            )
+        }
 
         def flush(batch):
             real = len(batch)
             batch = batch + [batch[0]] * (batch_size - real)
             bufs = jnp.asarray(np.stack([self._pack_inputs(*f) for f in batch]))
-            if use_rle:
-                return self._pipeline_packed_batch_rle(self.params, bufs), real
-            return self._pipeline_packed_batch(self.params, bufs), real
+            if mode["rle"]:
+                return True, self._pipeline_packed_batch_rle(self.params, bufs), real
+            return False, self._pipeline_packed_batch(self.params, bufs), real
 
         def drain(pending):
-            out, real = pending
-            if use_rle:
+            was_rle, out, real = pending
+            if was_rle:
                 rle, raw = out
                 host = np.asarray(rle)
                 # If any frame overflowed the RLE run budget, fetch the raw
@@ -403,9 +414,14 @@ class MaskRefinerPredictor:
                 # fetches fall below the transport's bulk-transfer threshold
                 # and cost ~10x more than one batched readback.
                 n_runs = host[:real, :4].copy().view(np.uint32)[:, 0]
-                raw_host = (
-                    np.asarray(raw) if (n_runs > self.max_rle_runs).any() else None
-                )
+                overflow = n_runs > self.max_rle_runs
+                raw_host = np.asarray(raw) if overflow.any() else None
+                if overflow.all() and not forced:
+                    # fragmented outputs: every frame pays RLE + raw D2H.
+                    # Switch the rest of this stream (and future auto-mode
+                    # streams) to the raw path, which is strictly cheaper.
+                    mode["rle"] = False
+                    self._rle_fragmenting = True
                 for i in range(real):
                     yield self._unpack_outputs_rle(
                         host[i], lambda i=i: raw_host[i]
