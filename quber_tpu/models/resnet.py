@@ -86,8 +86,17 @@ class Bottleneck(nn.Module):
         return nn.relu(out + x)
 
 
-# ResNet-depth -> blocks per stage (resnet.py:408)
-BLOCKS_PER_STAGE = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+# ResNet-depth -> blocks per stage (resnet.py:408). Depth 14 is a one-
+# bottleneck-per-stage variant with the same stem/stage/fusion structure,
+# used by the virtual-CPU-mesh tests: XLA:CPU aborts a collective when the
+# participating device threads arrive >40 s apart, which the full-depth
+# model triggers on single-core hosts.
+BLOCKS_PER_STAGE = {
+    14: (1, 1, 1, 1),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
 
 
 class ResNetTrunk(nn.Module):

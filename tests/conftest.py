@@ -5,7 +5,16 @@ import os
 # JAX_PLATFORMS, so we also force the platform through jax.config.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual device threads share this host's ONE core; XLA:CPU aborts the
+    # whole process when collective participants arrive > 40 s apart, which
+    # scheduler stagger alone can trigger here. Give the rendezvous room.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -91,10 +91,14 @@ def test_loss_decreases(rng):
 
 
 def test_multichip_dp_step(rng):
-    # 8-way data parallelism on the virtual CPU mesh (conftest forces 8 devs)
+    # 8-way data parallelism on the virtual CPU mesh (conftest forces 8 devs).
+    # resnet_depth=14 keeps per-device-thread compute small: XLA:CPU kills
+    # the process when collective participants arrive >40s apart, which the
+    # full-depth model can trigger on a single-core host (8 threads, 1 core).
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     model_cfg, train_cfg = tiny_cfgs(batch=8)
+    model_cfg = dataclasses.replace(model_cfg, resnet_depth=14)
     state, tx = create_train_state(model_cfg, train_cfg)
     mesh = make_mesh(jax.devices()[:8])
     step = make_train_step(model_cfg, train_cfg, tx, mesh, donate=False)
