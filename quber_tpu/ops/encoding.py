@@ -98,13 +98,10 @@ def encode_initial_masks(
     rx = jnp.round(centers[:, 1])
     lim = float(3 * sigma + 1)
 
-    # --- heatmap: chunked min over instances of window-clipped d^2 ---
+    # --- heatmap: min over instances of window-clipped d^2 ---
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
     npix = h * w
-    pad = (-npix) % chunk
-    ysp = jnp.pad(ys, (0, pad))
-    xsp = jnp.pad(xs, (0, pad))
     inf_pen = jnp.where(valid, 0.0, jnp.inf)
 
     def min_d2(args):
@@ -116,10 +113,20 @@ def encode_initial_masks(
         d2 = jnp.where(outside, jnp.inf, d2) + inf_pen[None, :]
         return jnp.min(d2, axis=1)
 
-    nchunks = (npix + pad) // chunk
-    d2min = jax.lax.map(
-        min_d2, (ysp.reshape(nchunks, chunk), xsp.reshape(nchunks, chunk))
-    ).reshape(-1)[:npix]
+    if npix * n * 4 <= 128 * 1024 * 1024:
+        # small instance axis: one vectorized [H*W, N] pass. The sequential
+        # lax.map chunking below is latency-bound (~19 dependent steps at
+        # 480x640) and only pays off when N is large enough that the full
+        # distance matrix would blow past HBM-friendly sizes.
+        d2min = min_d2((ys, xs))
+    else:
+        pad = (-npix) % chunk
+        ysp = jnp.pad(ys, (0, pad))
+        xsp = jnp.pad(xs, (0, pad))
+        nchunks = (npix + pad) // chunk
+        d2min = jax.lax.map(
+            min_d2, (ysp.reshape(nchunks, chunk), xsp.reshape(nchunks, chunk))
+        ).reshape(-1)[:npix]
     center_map = jnp.where(
         jnp.isfinite(d2min), jnp.exp(-d2min / (2.0 * sigma**2)), 0.0
     ).reshape(h, w)

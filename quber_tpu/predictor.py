@@ -49,10 +49,16 @@ def rle_encode_device(flat: jnp.ndarray, max_runs: int):
     )
     run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     n_runs = run_id[-1] + 1
-    idx = jnp.where(boundary, run_id, max_runs)  # non-boundary/overflow -> dropped
-    packed = jnp.zeros((max_runs,), jnp.uint32).at[idx].set(
-        (v << 24) | jnp.arange(hw, dtype=jnp.uint32), mode="drop"
-    )
+    # run_id is sorted, so run r starts at searchsorted(run_id, r): a
+    # vectorized binary search (log2(hw) gather rounds over max_runs lanes)
+    # instead of an hw-element scatter, which serializes on TPU. Runs beyond
+    # n_runs get start == hw and a clamped-gather value; decode never reads
+    # them (callers check n_runs).
+    starts = jnp.searchsorted(
+        run_id, jnp.arange(max_runs, dtype=jnp.int32), side="left"
+    ).astype(jnp.uint32)
+    vals = v[jnp.minimum(starts, hw - 1)]
+    packed = (vals << 24) | starts
     return packed, n_runs
 
 
@@ -92,6 +98,7 @@ class MaskRefinerPredictor:
         params=None,
         max_instances: int = 64,
         seed: int = 0,
+        max_in_runs: int | None = None,
     ):
         self.config = config or MaskRefinerConfig()
         self.max_instances = max_instances
@@ -107,6 +114,12 @@ class MaskRefinerPredictor:
         self._pipeline_packed = jax.jit(self._pipeline_packed_impl)
         self._pipeline_packed_batch = jax.jit(self._pipeline_packed_batch_impl)
         self._pipeline_packed_batch_rle = jax.jit(self._pipeline_packed_batch_rle_impl)
+        self._pipeline_rlein_batch = jax.jit(
+            partial(self._pipeline_packed_batch_impl, input_rle=True)
+        )
+        self._pipeline_rlein_batch_rle = jax.jit(
+            partial(self._pipeline_packed_batch_rle_impl, input_rle=True)
+        )
         # packed-buffer layout (see _pack_inputs): rgb + MONO depth (the
         # reference pipeline's depth is always 3 replicated channels,
         # eval/preprocess_utils.py:12-28 normalize_depth) + bitpacked masks
@@ -116,6 +129,13 @@ class MaskRefinerPredictor:
         self._mask_bytes = n * (h * w // 8)
         self._valid_bytes = (n + 7) // 8
         self._in_bytes = self._img_bytes + self._mask_bytes + self._valid_bytes
+        # RLE input variant: [img | starts u32 x R | ends u32 x R | valid];
+        # ~10x smaller than the bitpacked mask region for typical scenes.
+        # Frames whose masks exceed R runs fall back to the dense layout.
+        self.max_in_runs = max_in_runs or max(2048, n * h)  # ~1 run/row/slot
+        self._in_bytes_rle = (
+            self._img_bytes + 8 * self.max_in_runs + self._valid_bytes
+        )
         self._scores_len = cfg.top_k_instances + 2
         # RLE output budget: h*w/25 runs (~12k at 480x640) covers grouped
         # panoptic maps with a wide margin; overflow falls back to the raw map
@@ -233,6 +253,71 @@ class MaskRefinerPredictor:
         buf[self._img_bytes + self._mask_bytes :] = np.packbits(valid)
         return buf
 
+    def _pack_inputs_rle(self, rgb_img, depth_img, perturbed_masks):
+        """RLE input layout: [img | starts u32 x R | ends u32 x R | valid].
+
+        Starts/ends are absolute positions in the flattened [N * H * W] mask
+        stack; padding runs are (L, L) with L = N * H * W, which decode to
+        nothing. Returns None when the masks need more than max_in_runs runs
+        (caller falls back to the dense bitpacked layout).
+        """
+        cfg = self.config
+        h, w, n = cfg.height, cfg.width, self.max_instances
+        r = self.max_in_runs
+        count = min(len(perturbed_masks), n)
+        total = n * h * w
+        if count:
+            flat = (np.asarray(perturbed_masks[:count]) > 0).reshape(-1)
+            d = np.diff(flat.astype(np.int8))
+            starts = np.flatnonzero(d == 1) + 1
+            ends = np.flatnonzero(d == -1) + 1
+            if flat[0]:
+                starts = np.concatenate([[0], starts])
+            if flat[-1]:
+                ends = np.concatenate([ends, [flat.size]])
+            if len(starts) > r:
+                return None
+        else:
+            starts = ends = np.zeros((0,), np.int64)
+        buf = np.empty((self._in_bytes_rle,), np.uint8)
+        img = buf[: self._img_bytes].reshape(h, w, 4)
+        img[..., :3] = rgb_img
+        depth_img = np.asarray(depth_img)
+        img[..., 3] = depth_img[..., 0] if depth_img.ndim == 3 else depth_img
+        runs = np.full((2 * r,), total, np.uint32)
+        runs[: len(starts)] = starts
+        runs[r : r + len(ends)] = ends
+        buf[self._img_bytes : self._img_bytes + 8 * r] = runs.view(np.uint8)
+        valid = np.zeros((n,), bool)
+        valid[:count] = True
+        buf[self._img_bytes + 8 * r :] = np.packbits(valid)
+        return buf
+
+    def _unpack_buf_rle(self, buf):
+        cfg = self.config
+        h, w, n = cfg.height, cfg.width, self.max_instances
+        r = self.max_in_runs
+        img4 = buf[: self._img_bytes].reshape(h, w, 4).astype(jnp.float32)
+        image = jnp.concatenate(
+            [img4[..., :3], jnp.repeat(img4[..., 3:4], 3, axis=-1)], axis=-1
+        )
+        runs = jax.lax.bitcast_convert_type(
+            buf[self._img_bytes : self._img_bytes + 8 * r].reshape(2 * r, 4),
+            jnp.uint32,
+        ).astype(jnp.int32)
+        starts, ends = runs[:r], runs[r:]
+        total = n * h * w
+        # delta-trick decode: +1 at starts, -1 at ends, inclusive prefix sum.
+        # Padding runs hit index `total` (+1 then -1: net zero).
+        delta = (
+            jnp.zeros((total + 1,), jnp.int32)
+            .at[starts].add(1)
+            .at[ends].add(-1)
+        )
+        masks = (jnp.cumsum(delta[:-1]) > 0).reshape(n, h, w)
+        valid = unpack_bits_device(buf[self._img_bytes + 8 * r :], n)
+        return image, masks, valid
+
     def _unpack_buf(self, buf):
         cfg = self.config
         h, w, n = cfg.height, cfg.width, self.max_instances
@@ -259,15 +344,17 @@ class MaskRefinerPredictor:
         out = self._pipeline_impl(params, image, masks, valid)
         return self._pack_out(out)
 
-    def _pipeline_packed_batch_impl(self, params, bufs):
+    def _pipeline_packed_batch_impl(self, params, bufs, input_rle: bool = False):
         """Batched packed pipeline: vmapped pre/post stages around the
         natively-batched Pallas grouping kernel (a straight vmap of the
         single-frame pipeline produces unsupported Pallas block shapes)."""
         from quber_tpu.ops.grouping import group_pixels
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
 
+        unpack = self._unpack_buf_rle if input_rle else self._unpack_buf
+
         def pre_fn(buf):
-            image, masks, valid = self._unpack_buf(buf)
+            image, masks, valid = unpack(buf)
             return self._pre_impl(params, image, masks, valid)
 
         pre = jax.vmap(pre_fn)(bufs)
@@ -300,15 +387,17 @@ class MaskRefinerPredictor:
         ).reshape(-1)
         return jnp.concatenate([head, body, cnt, scores])
 
-    def _pipeline_packed_batch_rle_impl(self, params, bufs):
+    def _pipeline_packed_batch_rle_impl(self, params, bufs, input_rle: bool = False):
         """Like _pipeline_packed_batch_impl but returns (rle u8 [B, rle_bytes],
         raw panoptic u8 [B, H*W]). The raw maps stay on device unless a
         frame's run count overflows the RLE budget."""
         from quber_tpu.ops.grouping import group_pixels
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
 
+        unpack = self._unpack_buf_rle if input_rle else self._unpack_buf
+
         def pre_fn(buf):
-            image, masks, valid = self._unpack_buf(buf)
+            image, masks, valid = unpack(buf)
             return self._pre_impl(params, image, masks, valid)
 
         pre = jax.vmap(pre_fn)(bufs)
@@ -369,7 +458,8 @@ class MaskRefinerPredictor:
         return [self._unpack_outputs(out[i]) for i in range(len(frames))]
 
     def predict_batch_stream(self, frames, batch_size: int = 8,
-                             use_rle: bool | None = None, prefetch: int = 2):
+                             use_rle: bool | None = None, prefetch: int = 2,
+                             input_rle: bool = True):
         """Stream frames in fixed-size device batches with a producer-thread
         pipeline (the last partial batch is padded with its first frame).
 
@@ -387,6 +477,11 @@ class MaskRefinerPredictor:
         the RLE run budget (fragmented maps, e.g. untrained weights), the
         stream adaptively switches to the raw path, which is then strictly
         cheaper. `use_rle` pins the choice (tests / directly-attached TPUs).
+
+        Inputs travel run-length encoded by default (`input_rle`): the mask
+        stack compresses ~10x for typical scenes, and decode on device is a
+        two-scatter delta + prefix sum. Any frame exceeding `max_in_runs`
+        runs sends its whole batch through the dense bitpacked layout.
         """
         forced = use_rle is not None
         mode = {
@@ -399,6 +494,14 @@ class MaskRefinerPredictor:
         def flush(batch):
             real = len(batch)
             batch = batch + [batch[0]] * (batch_size - real)
+            if input_rle:
+                packed = [self._pack_inputs_rle(*f) for f in batch]
+                if all(p is not None for p in packed):
+                    bufs = jnp.asarray(np.stack(packed))
+                    if mode["rle"]:
+                        return True, self._pipeline_rlein_batch_rle(self.params, bufs), real
+                    return False, self._pipeline_rlein_batch(self.params, bufs), real
+            # dense fallback: a frame's masks exceeded the input run budget
             bufs = jnp.asarray(np.stack([self._pack_inputs(*f) for f in batch]))
             if mode["rle"]:
                 return True, self._pipeline_packed_batch_rle(self.params, bufs), real

@@ -87,6 +87,38 @@ def test_stream_inline_matches_threaded_and_overflow_fallback(rng):
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
 
+def test_rle_input_matches_dense_input(rng):
+    import jax.numpy as jnp
+
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    frames = _make_frames(rng, h, w, 3, n_masks=3)
+
+    # device-side decode parity: RLE buffer unpacks to the same image/masks
+    rgb, depth, masks = frames[0]
+    dense = predictor._pack_inputs(rgb, depth, masks)
+    rle = predictor._pack_inputs_rle(rgb, depth, masks)
+    assert rle is not None and rle.size == predictor._in_bytes_rle
+    di, dm, dv = predictor._unpack_buf(jnp.asarray(dense))
+    ri, rm, rv = predictor._unpack_buf_rle(jnp.asarray(rle))
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(dm), np.asarray(rm))
+    np.testing.assert_array_equal(np.asarray(dv), np.asarray(rv))
+
+    # end-to-end stream parity across input layouts
+    a = list(predictor.predict_batch_stream(frames, batch_size=2, input_rle=False))
+    b = list(predictor.predict_batch_stream(frames, batch_size=2, input_rle=True))
+    for (p1, c1, s1), (p2, c2, s2) in zip(a, b):
+        np.testing.assert_array_equal(p1, p2)
+        assert c1 == c2
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    # run-budget overflow falls back to None (dense layout)
+    checker = np.indices((h, w)).sum(0) % 2  # worst case: every pixel a run
+    assert predictor._pack_inputs_rle(rgb, depth, [checker] * 8) is None
+
+
 def test_packed_mono_depth_matches_full_pipeline(rng):
     # the packed path stores depth as one channel; with replicated input
     # depth it must agree with the unpacked pipeline exactly
