@@ -47,13 +47,14 @@ def main():
     # shapes only.
     batch_size = 16
     frames_warm = [(rgb, depth, masks)] * batch_size
-    # two warmup streams: the first may adaptively switch RLE -> raw output
-    # (random params fragment the maps), the second compiles the raw path
-    for _ in range(2):
-        for pan, count, scores in predictor.predict_batch_stream(
-            frames_warm, batch_size=batch_size
-        ):
-            assert pan.shape == (h, w) and 0 <= count <= 24, (pan.shape, count)
+    # raw-map output pinned: random params produce fragmented panoptic maps,
+    # for which the adaptive stream would switch to the raw path anyway after
+    # one batch (real-weight serving keeps the smaller RLE output). Pinning
+    # avoids compiling the RLE variant during warmup.
+    for pan, count, scores in predictor.predict_batch_stream(
+        frames_warm, batch_size=batch_size, use_rle=False
+    ):
+        assert pan.shape == (h, w) and 0 <= count <= 24, (pan.shape, count)
 
     # timed: batched streaming refine (producer-thread pipeline: input
     # packing + H2D + dispatch run up to 2 batches ahead of the consumer's
@@ -69,7 +70,7 @@ def main():
         t0 = time.time()
         n_out = 0
         for pan, count, scores in predictor.predict_batch_stream(
-            frames, batch_size=batch_size
+            frames, batch_size=batch_size, use_rle=False
         ):
             n_out += 1
         assert n_out == iters
