@@ -113,10 +113,12 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         from quber_tpu.models.uoais_net import UOAISNetBaseModel
 
         return UOAISNetBaseModel(dataset=dataset, amodal=True)
-    if name == "sam":
+    if name in ("sam", "sam-depth"):
         from quber_tpu.models.sam_refiner import SAMAutomaticBaseModel
 
-        return SAMAutomaticBaseModel(dataset=dataset)
+        return SAMAutomaticBaseModel(
+            dataset=dataset, depth_input=name.endswith("depth")
+        )
     if name == "detic":
         from quber_tpu.models.open_vocab import DeticBaseModel
 

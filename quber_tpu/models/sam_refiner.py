@@ -30,7 +30,7 @@ class SAMAutomaticBaseModel:
 
     def __init__(self, params=None, dataset="OSD", img_size=512, grid=8,
                  seed=0, embed_dim=256, depth=4, num_heads=4,
-                 iou_threshold=0.5, dedup_iou=0.7):
+                 iou_threshold=0.5, dedup_iou=0.7, depth_input=False):
         from quber_tpu.models.sam_hq import SAMHQ
 
         self.model = SAMHQ(img_size=img_size, embed_dim=embed_dim, depth=depth,
@@ -40,6 +40,7 @@ class SAMAutomaticBaseModel:
         self.dataset = dataset
         self.iou_threshold = iou_threshold
         self.dedup_iou = dedup_iou
+        self.depth_input = depth_input
         if params is None:
             from quber_tpu.models.sam_hq import init_sam_variables
 
@@ -75,9 +76,20 @@ class SAMAutomaticBaseModel:
 
         import cv2
 
-        rgb = cv2.imread(rgb_path)
         h0, w0 = 480, 640
-        rgb = cv2.resize(rgb, (w0, h0))
+        if self.depth_input:
+            # "sam-depth" mode (eval/base_model.py:256-259): prompt the mask
+            # generator with the colorized depth image instead of RGB
+            import imageio.v2 as imageio
+
+            from quber_tpu.ops.preprocess import inpaint_depth, normalize_depth
+
+            d = imageio.imread(depth_path)
+            d = normalize_depth(d)
+            d = cv2.resize(d, (w0, h0), interpolation=cv2.INTER_NEAREST)
+            rgb = inpaint_depth(d)
+        else:
+            rgb = cv2.resize(cv2.imread(rgb_path), (w0, h0))
         s = self.img_size
         img = (cv2.resize(rgb[..., ::-1], (s, s)).astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
 

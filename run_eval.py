@@ -13,12 +13,24 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-file", default="configs/mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8.yaml")
     parser.add_argument("--base-model", default="gt",
-                        help="gt | empty | npy | perturbed-gt | ucn")
+                        help="gt | empty | npy | perturbed-gt | uoaisnet | "
+                             "uoaisnet-amodal | ucn | ucn-zoomin | msmformer | "
+                             "msmformer-zoomin | uoisnet3d | sam | sam-depth | "
+                             "detic | grounded-sam")
     parser.add_argument("--refiner-model", default="maskrefiner",
-                        help="maskrefiner | maskrefiner-nofilter | identity | npy")
+                        help="maskrefiner | maskrefiner-nofilter | identity | "
+                             "npy | rice | cascadepsp | cascadepsp-rgbd | sam | "
+                             "hq-sam | hq-sam-pretrained | save")
     parser.add_argument("--test-dataset", default="OSD",
                         help="OSD | OCID | WISDOM | HOPE | DoPose")
     parser.add_argument("--dataset-path", default=None)
+    parser.add_argument("--use-cgnet", action="store_true",
+                        help="filter refined instances with the foreground "
+                             "segmenter (reference run_eval.py:26-30; without "
+                             "it 'maskrefiner' runs unfiltered)")
+    parser.add_argument("--gpu", default=None,
+                        help="accepted for reference-CLI compatibility; "
+                             "device selection is JAX-managed on TPU")
     parser.add_argument("--weights-file", default=None,
                         help="orbax checkpoint dir (random init if omitted)")
     parser.add_argument("--npy-folder", default="")
@@ -42,9 +54,14 @@ def main():
 
         params = restore_params(args.weights_file)
 
+    refiner_name = args.refiner_model
+    if refiner_name == "maskrefiner" and not args.use_cgnet:
+        # reference semantics: the fg filter is opt-in via --use-cgnet
+        refiner_name = "maskrefiner-nofilter"
+
     run_eval(
         base_model=args.base_model,
-        refiner_model=args.refiner_model,
+        refiner_model=refiner_name,
         test_dataset=args.test_dataset,
         dataset_path=args.dataset_path,
         config=model_cfg,
