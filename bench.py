@@ -24,6 +24,9 @@ def main():
 
     from quber_tpu.models import MaskRefinerConfig
     from quber_tpu.predictor import MaskRefinerPredictor
+    from quber_tpu.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # warm runs skip the ~2x45 s pipeline compiles
 
     cfg = MaskRefinerConfig(dtype="bfloat16")
     # 24 instance slots cover the benchmark datasets (OCID maxes ~20
