@@ -457,9 +457,46 @@ class MaskRefinerPredictor:
         out = np.asarray(self._pipeline_packed_batch(self.params, jnp.asarray(bufs)))
         return [self._unpack_outputs(out[i]) for i in range(len(frames))]
 
+    def sharded_batch_pipeline(self, mesh, use_rle: bool = False,
+                               input_rle: bool = True):
+        """Multi-chip serving: the batched refine pipeline sharded over the
+        mesh's "data" axis with shard_map (params replicated, frame axis
+        split across devices over ICI). The reference's inference
+        parallelism is one shell script per GPU (eval_script.sh /
+        bash/eval_{0..3}.sh, SURVEY §2d); here a single program serves the
+        whole slice. Batch size must divide by the mesh size.
+
+        Returns a jitted fn(params, bufs [B, in_bytes]) with the same output
+        convention as the corresponding single-chip pipeline.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+
+        if use_rle:
+            impl = partial(self._pipeline_packed_batch_rle_impl, input_rle=input_rle)
+        else:
+            impl = partial(self._pipeline_packed_batch_impl, input_rle=input_rle)
+        axis = mesh.axis_names[0]
+        fn = shard_map(
+            impl, mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(axis), P(axis)) if use_rle else P(axis),
+            # the pipeline is purely per-frame (no cross-device collectives);
+            # varying-axis inference trips on scan carries initialized from
+            # literals, so skip it
+            check_vma=False,
+        )
+        return jax.jit(
+            fn,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(axis)),
+            ),
+        )
+
     def predict_batch_stream(self, frames, batch_size: int = 8,
                              use_rle: bool | None = None, prefetch: int = 2,
-                             input_rle: bool = True):
+                             input_rle: bool = True, mesh=None):
         """Stream frames in fixed-size device batches with a producer-thread
         pipeline (the last partial batch is padded with its first frame).
 
@@ -482,6 +519,10 @@ class MaskRefinerPredictor:
         stack compresses ~10x for typical scenes, and decode on device is a
         two-scatter delta + prefix sum. Any frame exceeding `max_in_runs`
         runs sends its whole batch through the dense bitpacked layout.
+
+        Pass a `jax.sharding.Mesh` as `mesh` to serve each batch sharded
+        over the mesh's first axis (multi-chip data-parallel inference over
+        ICI; batch_size must divide by the mesh size).
         """
         forced = use_rle is not None
         mode = {
@@ -490,6 +531,27 @@ class MaskRefinerPredictor:
                 and not self._rle_fragmenting
             )
         }
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            assert batch_size % n_dev == 0, (
+                f"batch_size {batch_size} must divide over the {n_dev}-device mesh"
+            )
+
+        def pipe(rle_out: bool, rle_in: bool):
+            if mesh is None:
+                return {
+                    (False, False): self._pipeline_packed_batch,
+                    (True, False): self._pipeline_packed_batch_rle,
+                    (False, True): self._pipeline_rlein_batch,
+                    (True, True): self._pipeline_rlein_batch_rle,
+                }[(rle_out, rle_in)]
+            cache = self.__dict__.setdefault("_sharded_pipes", {})
+            key = (mesh, rle_out, rle_in)
+            if key not in cache:
+                cache[key] = self.sharded_batch_pipeline(
+                    mesh, use_rle=rle_out, input_rle=rle_in
+                )
+            return cache[key]
 
         def flush(batch):
             real = len(batch)
@@ -498,14 +560,10 @@ class MaskRefinerPredictor:
                 packed = [self._pack_inputs_rle(*f) for f in batch]
                 if all(p is not None for p in packed):
                     bufs = jnp.asarray(np.stack(packed))
-                    if mode["rle"]:
-                        return True, self._pipeline_rlein_batch_rle(self.params, bufs), real
-                    return False, self._pipeline_rlein_batch(self.params, bufs), real
+                    return mode["rle"], pipe(mode["rle"], True)(self.params, bufs), real
             # dense fallback: a frame's masks exceeded the input run budget
             bufs = jnp.asarray(np.stack([self._pack_inputs(*f) for f in batch]))
-            if mode["rle"]:
-                return True, self._pipeline_packed_batch_rle(self.params, bufs), real
-            return False, self._pipeline_packed_batch(self.params, bufs), real
+            return mode["rle"], pipe(mode["rle"], False)(self.params, bufs), real
 
         def drain(pending):
             was_rle, out, real = pending

@@ -119,6 +119,34 @@ def test_rle_input_matches_dense_input(rng):
     assert predictor._pack_inputs_rle(rgb, depth, [checker] * 8) is None
 
 
+def test_sharded_stream_matches_single_device(rng):
+    # multi-chip serving path: batch sharded over the 8-device virtual mesh
+    # must reproduce the single-device stream exactly
+    import jax
+
+    from quber_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    frames = _make_frames(rng, h, w, 8)
+    mesh = make_mesh(jax.devices()[:8])
+
+    single = list(predictor.predict_batch_stream(frames, batch_size=8, use_rle=False))
+    sharded = list(
+        predictor.predict_batch_stream(frames, batch_size=8, use_rle=False, mesh=mesh)
+    )
+    assert len(single) == len(sharded) == 8
+    for (p1, c1, s1), (p2, c2, s2) in zip(single, sharded):
+        np.testing.assert_array_equal(p1, p2)
+        assert c1 == c2
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
 def test_packed_mono_depth_matches_full_pipeline(rng):
     # the packed path stores depth as one channel; with replicated input
     # depth it must agree with the unpacked pipeline exactly
