@@ -88,28 +88,32 @@ class QuBERRefiner:
 
         start = time.time()
         pan, count, scores = self.predictor.predict_packed(rgb, depth_n, initial_masks)
+        refined, fg = self._postprocess(
+            pan, count, scores, rgb_path, depth_path, zero_depth
+        )
+        elapsed = time.time() - start
+        return refined, {"panoptic": pan, "scores": scores}, elapsed, fg
+
+    def _postprocess(self, pan, count, scores, rgb_path, depth_path, zero_depth):
+        """Shared per-frame postprocessing: masks from the panoptic map, fg
+        overlap filter (OCID zero-depth zeroing mirrors
+        refiner_model.py:283-288)."""
         refined = (
             pan[None] == np.arange(1, count + 1)[:, None, None]
             if count
             else np.zeros((0, EVAL_H, EVAL_W), bool)
         )
-        elapsed = time.time() - start
-
         fg = None
         if self.fg_predictor is not None:
             fg = self.fg_predictor.predict(rgb_path, depth_path)
-            keep = []
-            for m in refined:
-                s = m.sum()
-                if s and np.logical_and(m, fg).sum() / s > 0.3:
-                    keep.append(m)
+            keep = [
+                m for m in refined
+                if m.sum() and np.logical_and(m, fg).sum() / m.sum() > 0.3
+            ]
             refined = (
                 np.asarray(keep) if keep else np.zeros((0, EVAL_H, EVAL_W), bool)
             )
-            elapsed = time.time() - start
-
         if self.dataset == "OCID" and len(refined):
-            # zero-depth pixels carry no label in OCID GT (refiner_model.py:283-288)
             import cv2
 
             zd = cv2.resize(
@@ -117,7 +121,36 @@ class QuBERRefiner:
                 interpolation=cv2.INTER_NEAREST,
             ).astype(bool)
             refined = refined & ~zd[None]
-        return refined, {"panoptic": pan, "scores": scores}, elapsed, fg
+        return refined, fg
+
+    def predict_stream(self, items, batch_size: int = 16):
+        """Batched-throughput refinement over an iterable of
+        (rgb_path, depth_path, initial_masks, fg_mask) items.
+
+        Streams frames through the predictor's producer-thread pipeline
+        (device batches, one packed transfer per direction) instead of one
+        round-trip per image; yields (refined_masks, output, fg) per item in
+        order. Note: the fg-overlap filter still runs one fg-net call per
+        frame — use maskrefiner-nofilter for pure streaming throughput.
+        """
+        from collections import deque
+
+        metas: deque = deque()  # filled by the stream's producer thread
+
+        def frames():
+            for rgb_path, depth_path, initial_masks, _fg in items:
+                rgb, depth_n, zero_depth = _load_rgbd(rgb_path, depth_path)
+                metas.append((rgb_path, depth_path, zero_depth))
+                yield (rgb, depth_n, initial_masks)
+
+        for pan, count, scores in self.predictor.predict_batch_stream(
+            frames(), batch_size=batch_size
+        ):
+            rgb_path, depth_path, zero_depth = metas.popleft()
+            refined, fg = self._postprocess(
+                pan, count, scores, rgb_path, depth_path, zero_depth
+            )
+            yield refined, {"panoptic": pan, "scores": scores}, fg
 
 
 def build_refiner_model(name: str, dataset: str, config=None, params=None,

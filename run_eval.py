@@ -35,6 +35,9 @@ def main():
                         help="orbax checkpoint dir (random init if omitted)")
     parser.add_argument("--npy-folder", default="")
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--refine-batch", type=int, default=0,
+                        help="stream refinement in device batches of this "
+                             "size (throughput mode; 0 = per-image)")
     parser.add_argument("--visualize", action="store_true")
     parser.add_argument("--vis_dir", default="./vis")
     parser.add_argument("--csv", default="./eval_results.csv")
@@ -71,6 +74,7 @@ def main():
         visualize=args.visualize,
         vis_dir=args.vis_dir,
         csv_path=args.csv,
+        refine_batch=args.refine_batch,
     )
 
 

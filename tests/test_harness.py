@@ -82,3 +82,36 @@ def test_save_mode_dumps_npy(osd_dir, tmp_path, monkeypatch):
     assert len(dumped) == 3
     arr = np.load(dumped[0])
     assert arr.ndim == 3 and arr.max() == 255
+
+
+def test_streamed_refine_matches_per_image(osd_dir, tmp_path, monkeypatch, rng):
+    # predict_stream must reproduce per-image predict() exactly (tiny config;
+    # the eval resolution is monkeypatched down to keep the CPU forward cheap)
+    import quber_tpu.evaluation.refiner_models as rm
+    from quber_tpu.models.mask_refiner import MaskRefinerConfig
+
+    monkeypatch.setattr(rm, "EVAL_H", 64)
+    monkeypatch.setattr(rm, "EVAL_W", 64)
+    cfg = MaskRefinerConfig(height=64, width=64, use_pallas_grouping=False)
+    refiner = rm.QuBERRefiner(cfg, dataset="OSD", max_instances=8,
+                              use_fg_filter=False)
+
+    import cv2
+
+    from tests.conftest import random_blobs
+
+    items = []
+    for i in range(3):
+        rgb_p = str(tmp_path / f"r{i}.png")
+        dep_p = str(tmp_path / f"d{i}.png")
+        cv2.imwrite(rgb_p, (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+        cv2.imwrite(dep_p, rng.uniform(400, 1400, (64, 64)).astype(np.uint16))
+        masks = random_blobs(rng, 2, 64, 64, min_r=6, max_r=12)
+        items.append((rgb_p, dep_p, list(masks), None))
+
+    per_image = [refiner.predict(r, d, m, f) for r, d, m, f in items]
+    streamed = list(refiner.predict_stream(items, batch_size=2))
+    assert len(streamed) == 3
+    for (m1, o1, _t, _f1), (m2, o2, _f2) in zip(per_image, streamed):
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(o1["panoptic"], o2["panoptic"])
