@@ -155,3 +155,167 @@ def group_pixels_pallas_batched(
         interpret=interpret,
     )(cy3, cx3, pen3, ly, lx)
     return ids.reshape(b, n + pad)[:, :n].reshape(b, h, w) + 1
+
+
+@partial(jax.jit, static_argnames=("sigma", "normalize", "interpret"))
+def encode_initial_masks_pallas(
+    masks: jnp.ndarray,
+    valid: jnp.ndarray,
+    centers: jnp.ndarray,
+    sigma: int = 10,
+    normalize: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused center-Gaussian + offset encoding: [N, H, W] masks -> [3, H, W].
+
+    Drop-in twin of ops.encoding.encode_initial_masks given precomputed
+    float centroids (ops.encoding.instance_stats): one VMEM pass over the
+    mask stack per pixel tile computes, per pixel,
+      * the windowed min over instances of d^2 to the ROUNDED centroid
+        (heatmap = exp(-d2min / 2 sigma^2); the min of d^2 equals the max of
+        the per-instance Gaussians since exp is monotone),
+      * the last-wins owning instance (ascending select chain, matching the
+        reference's sequential paint order, target_generator.py:144-146) and
+        its offsets to the FLOAT centroid.
+    The XLA path materializes [N, H, W] float intermediates for each of
+    these; here the stack is read once as int8 tiles.
+    """
+    n, h, w = masks.shape
+    hw = h * w
+    lim = float(3 * sigma + 1)
+    inv2s2 = 1.0 / (2.0 * float(sigma) ** 2)
+    sy = float(h) if normalize else 1.0
+    sx = float(w) if normalize else 1.0
+
+    m8 = masks.reshape(n, hw).astype(jnp.int8)
+    pad = (-hw) % TILE
+    m8 = jnp.pad(m8, ((0, 0), (0, pad)))
+    grid = ((hw + pad) // TILE,)
+
+    # caller passes valid already gated on area > 0 (instance_stats)
+    ok = valid
+    cy = jnp.where(ok, centers[:, 0], 0.0).astype(jnp.float32)
+    cx = jnp.where(ok, centers[:, 1], 0.0).astype(jnp.float32)
+    ry = jnp.round(cy)
+    rx = jnp.round(cx)
+    pen = jnp.where(ok, 0.0, jnp.inf).astype(jnp.float32)
+    okf = ok.astype(jnp.float32)
+    # scalar tables ride in SMEM as [N]
+    tables = (cy, cx, ry, rx, pen, okf)
+
+    def kernel(cy_ref, cx_ref, ry_ref, rx_ref, pen_ref, ok_ref, m_ref, out_ref):
+        t = pl.program_id(0)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0] + t * TILE
+        y = (idx // w).astype(jnp.float32)
+        x = (idx % w).astype(jnp.float32)
+        d2min = jnp.full((TILE,), jnp.inf, jnp.float32)
+        cy_sel = jnp.zeros((TILE,), jnp.float32)
+        cx_sel = jnp.zeros((TILE,), jnp.float32)
+        owned = jnp.zeros((TILE,), jnp.bool_)
+        for k in range(n):
+            # scalar-bool & vector-bool trips a Mosaic relayout; gate the
+            # int8 row by the validity scalar in float instead
+            mk = m_ref[k, :].astype(jnp.float32) * ok_ref[k] > 0
+            cy_sel = jnp.where(mk, cy_ref[k], cy_sel)
+            cx_sel = jnp.where(mk, cx_ref[k], cx_sel)
+            owned = owned | mk
+            dy = y - ry_ref[k]
+            dx = x - rx_ref[k]
+            d2 = dy * dy + dx * dx + pen_ref[k]
+            outside = (jnp.abs(dy) > lim) | (jnp.abs(dx) > lim)
+            d2min = jnp.minimum(d2min, jnp.where(outside, jnp.inf, d2))
+        out_ref[0, :] = jnp.where(
+            jnp.isfinite(d2min), jnp.exp(-d2min * inv2s2), 0.0
+        )
+        out_ref[1, :] = jnp.where(owned, (cy_sel - y) / sy, 0.0)
+        out_ref[2, :] = jnp.where(owned, (cx_sel - x) / sx, 0.0)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    enc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
+                  pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, hw + pad), jnp.float32),
+        interpret=interpret,
+    )(*tables, m8)
+    return enc[:, :hw].reshape(3, h, w)
+
+
+@partial(jax.jit, static_argnames=("sigma", "normalize", "interpret"))
+def encode_initial_masks_pallas_batched(
+    masks: jnp.ndarray,
+    valid: jnp.ndarray,
+    centers: jnp.ndarray,
+    sigma: int = 10,
+    normalize: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched twin of encode_initial_masks_pallas: masks [B, N, H, W],
+    valid [B, N], centers [B, N, 2] -> [B, 3, H, W]. One grid over B x pixel
+    tiles; each program selects its batch's centroid tables via the index
+    map (vmap of a pallas_call does not batch the block shapes).
+    """
+    b, n, h, w = masks.shape
+    hw = h * w
+    lim = float(3 * sigma + 1)
+    inv2s2 = 1.0 / (2.0 * float(sigma) ** 2)
+    sy = float(h) if normalize else 1.0
+    sx = float(w) if normalize else 1.0
+
+    m8 = masks.reshape(b, n, hw).astype(jnp.int8)
+    pad = (-hw) % TILE
+    m8 = jnp.pad(m8, ((0, 0), (0, 0), (0, pad)))
+    tpb = (hw + pad) // TILE
+
+    ok = valid
+    cy = jnp.where(ok, centers[..., 0], 0.0).astype(jnp.float32)
+    cx = jnp.where(ok, centers[..., 1], 0.0).astype(jnp.float32)
+    ry = jnp.round(cy)
+    rx = jnp.round(cx)
+    pen = jnp.where(ok, 0.0, jnp.inf).astype(jnp.float32)
+    okf = ok.astype(jnp.float32)
+    tables = (cy, cx, ry, rx, pen, okf)  # each [B, N] in SMEM
+
+    def kernel(cy_ref, cx_ref, ry_ref, rx_ref, pen_ref, ok_ref, m_ref, out_ref):
+        bi = pl.program_id(0) // tpb
+        t = pl.program_id(0) % tpb
+        idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0] + t * TILE
+        y = (idx // w).astype(jnp.float32)
+        x = (idx % w).astype(jnp.float32)
+        d2min = jnp.full((TILE,), jnp.inf, jnp.float32)
+        cy_sel = jnp.zeros((TILE,), jnp.float32)
+        cx_sel = jnp.zeros((TILE,), jnp.float32)
+        owned = jnp.zeros((TILE,), jnp.bool_)
+        for k in range(n):
+            mk = m_ref[0, k, :].astype(jnp.float32) * ok_ref[bi, k] > 0
+            cy_sel = jnp.where(mk, cy_ref[bi, k], cy_sel)
+            cx_sel = jnp.where(mk, cx_ref[bi, k], cx_sel)
+            owned = owned | mk
+            dy = y - ry_ref[bi, k]
+            dx = x - rx_ref[bi, k]
+            d2 = dy * dy + dx * dx + pen_ref[bi, k]
+            outside = (jnp.abs(dy) > lim) | (jnp.abs(dx) > lim)
+            d2min = jnp.minimum(d2min, jnp.where(outside, jnp.inf, d2))
+        out_ref[0, 0, :] = jnp.where(
+            jnp.isfinite(d2min), jnp.exp(-d2min * inv2s2), 0.0
+        )
+        out_ref[0, 1, :] = jnp.where(owned, (cy_sel - y) / sy, 0.0)
+        out_ref[0, 2, :] = jnp.where(owned, (cx_sel - x) / sx, 0.0)
+
+    # whole [B, N] scalar tables in SMEM, indexed by batch inside the kernel
+    # (blocked SMEM specs hit the 8x128 block-divisibility rule)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    enc = pl.pallas_call(
+        kernel,
+        grid=(b * tpb,),
+        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
+                  pl.BlockSpec((1, n, TILE), lambda i: (i // tpb, 0, i % tpb),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, TILE), lambda i: (i // tpb, 0, i % tpb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, hw + pad), jnp.float32),
+        interpret=interpret,
+    )(*tables, m8)
+    return enc[:, :, :hw].reshape(b, 3, h, w)

@@ -152,12 +152,27 @@ class MaskRefinerPredictor:
             use_pallas = jax.default_backend() != "cpu"
         return use_pallas
 
-    def _pre_impl(self, params, image, masks, valid):
-        """Everything before pixel grouping: encode -> forward -> center NMS."""
+    def _encode_impl(self, masks, valid):
+        """Initial-mask encoding: fused Pallas kernel on TPU, XLA elsewhere."""
+        if self._use_pallas():
+            from quber_tpu.ops.encoding import instance_stats
+            from quber_tpu.ops.pallas_kernels import encode_initial_masks_pallas
+
+            areas, centers = instance_stats(masks, valid)
+            return encode_initial_masks_pallas(
+                masks, valid & (areas > 0), centers, sigma=10, normalize=True
+            )
+        return encode_initial_masks(masks, valid, sigma=10, normalize=True)
+
+    def _pre_impl(self, params, image, masks, valid, enc=None):
+        """Everything before pixel grouping: encode -> forward -> center NMS.
+        `enc` lets batched pipelines pass a precomputed (natively-batched
+        Pallas) encoding."""
         from quber_tpu.ops.grouping import find_instance_centers
 
         cfg = self.config
-        enc = encode_initial_masks(masks, valid, sigma=10, normalize=True)
+        if enc is None:
+            enc = self._encode_impl(masks, valid)
         offset_enc = jnp.transpose(enc, (1, 2, 0))[None]
         out = self.model.apply(params, image[None], offset_enc)
 
@@ -344,20 +359,38 @@ class MaskRefinerPredictor:
         out = self._pipeline_impl(params, image, masks, valid)
         return self._pack_out(out)
 
+    def _pre_batch(self, params, bufs, unpack):
+        """Vmapped unpack + pre stages around the natively-batched Pallas
+        encode kernel (a straight vmap of the single-frame pipeline produces
+        unsupported Pallas block shapes)."""
+        images, masks, valids = jax.vmap(unpack)(bufs)
+        encs = None
+        if self._use_pallas():
+            from quber_tpu.ops.encoding import instance_stats
+            from quber_tpu.ops.pallas_kernels import (
+                encode_initial_masks_pallas_batched,
+            )
+
+            areas, centers = jax.vmap(instance_stats)(masks, valids)
+            encs = encode_initial_masks_pallas_batched(
+                masks, valids & (areas > 0), centers, sigma=10, normalize=True
+            )
+        if encs is None:
+            return jax.vmap(
+                lambda i, m, v: self._pre_impl(params, i, m, v)
+            )(images, masks, valids)
+        return jax.vmap(
+            lambda i, m, v, e: self._pre_impl(params, i, m, v, enc=e)
+        )(images, masks, valids, encs)
+
     def _pipeline_packed_batch_impl(self, params, bufs, input_rle: bool = False):
         """Batched packed pipeline: vmapped pre/post stages around the
-        natively-batched Pallas grouping kernel (a straight vmap of the
-        single-frame pipeline produces unsupported Pallas block shapes)."""
+        natively-batched Pallas encode + grouping kernels."""
         from quber_tpu.ops.grouping import group_pixels
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
 
         unpack = self._unpack_buf_rle if input_rle else self._unpack_buf
-
-        def pre_fn(buf):
-            image, masks, valid = unpack(buf)
-            return self._pre_impl(params, image, masks, valid)
-
-        pre = jax.vmap(pre_fn)(bufs)
+        pre = self._pre_batch(params, bufs, unpack)
         if self._use_pallas():
             raw = group_pixels_pallas_batched(
                 pre["centers"], pre["centers_valid"], pre["offset"]
@@ -395,12 +428,7 @@ class MaskRefinerPredictor:
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
 
         unpack = self._unpack_buf_rle if input_rle else self._unpack_buf
-
-        def pre_fn(buf):
-            image, masks, valid = unpack(buf)
-            return self._pre_impl(params, image, masks, valid)
-
-        pre = jax.vmap(pre_fn)(bufs)
+        pre = self._pre_batch(params, bufs, unpack)
         if self._use_pallas():
             raw = group_pixels_pallas_batched(
                 pre["centers"], pre["centers_valid"], pre["offset"]

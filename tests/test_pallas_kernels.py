@@ -55,3 +55,70 @@ def test_group_pixels_pallas_batched_matches_single(rng, blobs):
     ))
     for i in range(b):
         np.testing.assert_array_equal(got[i], singles[i])
+
+
+def test_encode_pallas_matches_xla(rng, blobs):
+    from quber_tpu.ops.encoding import instance_stats
+    from quber_tpu.ops.pallas_kernels import encode_initial_masks_pallas
+
+    h, w, n = 64, 128, 6
+    masks = np.zeros((n, h, w), bool)
+    masks[:4] = blobs(rng, 4, h, w, min_r=8, max_r=16) > 0
+    # overlapping pair exercises the last-wins owner chain
+    masks[1] |= masks[0]
+    valid = np.array([True, True, True, True, False, False])
+
+    for normalize in (True, False):
+        ref = np.asarray(E.encode_initial_masks(
+            jnp.asarray(masks), jnp.asarray(valid), sigma=10, normalize=normalize
+        ))
+        areas, centers = instance_stats(jnp.asarray(masks), jnp.asarray(valid))
+        ok = jnp.asarray(valid) & (areas > 0)
+        got = np.asarray(encode_initial_masks_pallas(
+            jnp.asarray(masks), ok, centers, sigma=10, normalize=normalize,
+            interpret=True,
+        ))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_encode_pallas_empty(rng):
+    from quber_tpu.ops.encoding import instance_stats
+    from quber_tpu.ops.pallas_kernels import encode_initial_masks_pallas
+
+    h, w, n = 64, 128, 4
+    masks = jnp.zeros((n, h, w), bool)
+    valid = jnp.zeros((n,), bool)
+    areas, centers = instance_stats(masks, valid)
+    got = np.asarray(encode_initial_masks_pallas(
+        masks, valid & (areas > 0), centers, interpret=True
+    ))
+    assert got.shape == (3, h, w)
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_encode_pallas_batched_matches_single(rng, blobs):
+    from quber_tpu.ops.encoding import instance_stats
+    from quber_tpu.ops.pallas_kernels import (
+        encode_initial_masks_pallas, encode_initial_masks_pallas_batched,
+    )
+
+    h, w, n, b = 64, 128, 4, 3
+    all_m, all_ok, all_c, singles = [], [], [], []
+    for i in range(b):
+        masks = blobs(rng, n - 1, h, w, min_r=8, max_r=16) > 0
+        masks = np.concatenate([masks, np.zeros((1, h, w), bool)])
+        valid = np.array([True] * (n - 1) + [False])
+        areas, centers = instance_stats(jnp.asarray(masks), jnp.asarray(valid))
+        ok = jnp.asarray(valid) & (areas > 0)
+        all_m.append(masks)
+        all_ok.append(np.asarray(ok))
+        all_c.append(np.asarray(centers))
+        singles.append(np.asarray(encode_initial_masks_pallas(
+            jnp.asarray(masks), ok, centers, interpret=True
+        )))
+    got = np.asarray(encode_initial_masks_pallas_batched(
+        jnp.asarray(np.stack(all_m)), jnp.asarray(np.stack(all_ok)),
+        jnp.asarray(np.stack(all_c)), interpret=True,
+    ))
+    for i in range(b):
+        np.testing.assert_allclose(got[i], singles[i], rtol=1e-6)
