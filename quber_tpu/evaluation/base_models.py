@@ -41,6 +41,11 @@ class GT:
         else:
             anno_path = rgb_path.replace("rgb", "annotation")
         anno = np.asarray(imageio.imread(anno_path))
+        if anno.ndim == 3:
+            # RGB-encoded label image (or a mis-derived annotation path that
+            # resolved to the color image): collapse to a single channel so
+            # downstream mask stacks stay [N, H, W]
+            anno = anno[..., 0]
         anno = cv2.resize(anno, (EVAL_W, EVAL_H), interpolation=cv2.INTER_NEAREST)
         if self.dataset == "OCID":
             key = "floor" if "floor" in rgb_path else "table"

@@ -168,3 +168,31 @@ def test_packed_mono_depth_matches_full_pipeline(rng):
     )
     np.testing.assert_array_equal(pan_packed, np.asarray(out["panoptic_seg"]))
     assert count_packed == int(out["num_instances"])
+
+
+def test_aot_export_roundtrip(rng, tmp_path):
+    # jax.export serialization of the batched pipeline: the deserialized
+    # artifact must reproduce the live pipeline exactly (serving path)
+    import sys
+    import subprocess
+
+    import jax
+    import jax.export
+    import jax.numpy as jnp
+    from functools import partial
+
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    fn = jax.jit(partial(predictor._pipeline_packed_batch_impl, input_rle=True))
+    buf_spec = jax.ShapeDtypeStruct((2, predictor._in_bytes_rle), jnp.uint8)
+    param_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), predictor.params
+    )
+    blob = jax.export.export(fn)(param_specs, buf_spec).serialize()
+
+    frames = _make_frames(rng, h, w, 2)
+    bufs = jnp.asarray(np.stack([predictor._pack_inputs_rle(*f) for f in frames]))
+    got = jax.export.deserialize(blob).call(predictor.params, bufs)
+    want = fn(predictor.params, bufs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
