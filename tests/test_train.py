@@ -155,3 +155,79 @@ def test_freeze_backbone_stages(rng):
             if not np.array_equal(np.asarray(v), before[key]):
                 changed_res3 += 1
     assert changed_res3 > 0
+
+
+def test_device_targets_match_host_mapper(rng):
+    # the on-device target builder must reproduce the host mapper's targets
+    # (same ops, different backends: numpy/cv2 vs fused XLA)
+    import sys
+
+    sys.path.insert(0, ".")
+    from train_net import SyntheticMapper, synthetic_records
+
+    from quber_tpu.train.device_targets import (
+        build_targets, pack_train_sample, unpack_train_sample,
+    )
+
+    h = w = 64
+    model_cfg = MaskRefinerConfig(height=h, width=w)
+    train_cfg = TrainConfig(batch_size=2)
+    rec = synthetic_records(1, h, w, seed=5)[0]
+    host = SyntheticMapper(train_cfg, model_cfg)(rec)
+
+    from quber_tpu.data import rle
+    from quber_tpu.data.mappers import normalize_depth_mm
+
+    pert = np.asarray([rle.decode(r) for r in rec["perturbed_segmentation"]])
+    depth_n = normalize_depth_mm(rec["depth_mm"], train_cfg.depth_range)
+    buf = pack_train_sample(rec["rgb"], depth_n, rec["gt_masks"], pert, n_slots=8)
+    image, gt, gv, pt, pv = unpack_train_sample(jnp.asarray(buf), h, w, 8)
+    dev = build_targets(gt, gv, pt, pv, model_cfg, train_cfg)
+
+    # image: u8-rounded on the packed path
+    np.testing.assert_allclose(np.asarray(image), np.round(host["image"]), atol=0.5)
+    for key, tol in [
+        ("sem_seg", 0), ("sem_seg_weights", 0), ("center", 1e-5),
+        ("offset", 1e-4), ("offset_enc", 1e-5),
+        ("eee_mask", 0), ("eee_boundary", 0),
+        ("center_weights", 0), ("offset_weights", 0),
+    ]:
+        got, want = np.asarray(dev[key]), np.asarray(host[key])
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        if tol:
+            np.testing.assert_allclose(got, want, atol=tol, err_msg=key)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=key)
+
+
+def test_device_target_step_runs(rng):
+    from quber_tpu.train.device_targets import (
+        make_device_target_step, pack_train_sample, sample_bytes,
+    )
+    import sys
+
+    sys.path.insert(0, ".")
+    from train_net import synthetic_records
+
+    from quber_tpu.data import rle
+    from quber_tpu.data.mappers import normalize_depth_mm
+
+    h = w = 32
+    model_cfg = MaskRefinerConfig(height=h, width=w)
+    train_cfg = TrainConfig(batch_size=2, max_iter=100)
+    state, tx = create_train_state(model_cfg, train_cfg)
+    mesh = make_mesh(jax.devices()[:1])
+    step = make_device_target_step(model_cfg, train_cfg, tx, mesh,
+                                   n_slots=8, donate=False)
+    recs = synthetic_records(2, h, w, seed=1)
+    bufs = []
+    for rec in recs:
+        pert = np.asarray([rle.decode(r) for r in rec["perturbed_segmentation"]])
+        depth_n = normalize_depth_mm(rec["depth_mm"], train_cfg.depth_range)
+        bufs.append(pack_train_sample(rec["rgb"], depth_n, rec["gt_masks"],
+                                      pert, n_slots=8))
+    bufs = jnp.asarray(np.stack(bufs))
+    assert bufs.shape[1] == sample_bytes(h, w, 8)
+    new_state, metrics = step(state, bufs, jax.random.PRNGKey(0))
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    assert int(new_state.step) == 1

@@ -128,6 +128,13 @@ def main():
                         help="run the metric harness every eval_period iters (e.g. OSD)")
     parser.add_argument("--eval-dataset-path", default=None)
     parser.add_argument("--eval-limit", type=int, default=20)
+    parser.add_argument("--device-targets", action="store_true",
+                        help="generate ALL training targets on device inside "
+                             "the jitted step (host only decodes images and "
+                             "bitpacks masks) — removes the host target-math "
+                             "bottleneck on weak hosts")
+    parser.add_argument("--target-slots", type=int, default=32,
+                        help="instance-slot bound for --device-targets")
     parser.add_argument("--workers", type=int, default=0,
                         help="grain prefetch workers (0 = in-process loader)")
     args = parser.parse_args()
@@ -142,6 +149,9 @@ def main():
     from quber_tpu.parallel.mesh import make_mesh, put_batch
     from quber_tpu.train.checkpoint import restore_state, save_state
     from quber_tpu.train.loop import create_train_state, make_train_step
+    from quber_tpu.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # warm restarts skip the ~minutes step compile
 
     model_cfg, train_cfg = load_config(args.config_file)
     if args.height or args.width:
@@ -165,6 +175,10 @@ def main():
         register_standard_datasets(args.data_root)
         records = args.dataset
         mapper = PerturbedPanopticMapper(train_cfg, model_cfg, is_train=True)
+    if args.device_targets:
+        from quber_tpu.train.device_targets import PackedMapper
+
+        mapper = PackedMapper(train_cfg, model_cfg, n_slots=args.target_slots)
 
     mesh = make_mesh()
     print(f"mesh: {mesh}; devices: {jax.devices()}")
@@ -174,7 +188,14 @@ def main():
         if restored is not None:
             state = restored
             print(f"resumed at step {int(state.step)}")
-    train_step = make_train_step(model_cfg, train_cfg, tx, mesh)
+    if args.device_targets:
+        from quber_tpu.train.device_targets import make_device_target_step
+
+        train_step = make_device_target_step(
+            model_cfg, train_cfg, tx, mesh, n_slots=args.target_slots
+        )
+    else:
+        train_step = make_train_step(model_cfg, train_cfg, tx, mesh)
     if args.workers:
         from quber_tpu.data.datasets import get_dataset
         from quber_tpu.data.pipeline import make_dataloader
@@ -190,6 +211,8 @@ def main():
     start = int(state.step)
     for it in range(start, train_cfg.max_iter):
         batch = put_batch(next(batches), mesh)
+        if args.device_targets:
+            batch = batch["packed"]
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, batch, step_rng)
         if (it + 1) % args.log_period == 0 or it + 1 == train_cfg.max_iter:
