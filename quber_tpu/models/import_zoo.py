@@ -1,0 +1,231 @@
+"""Checkpoint importers for the model zoo: torch state_dicts -> flax trees.
+
+The reference's eval path loads trained weights for every zoo member — the
+fg filter (/root/reference/foreground_segmentation/predictor.py:21-99,
+`rgbd_fg.pth` / `rgbd_lmffnet.pth`), UCN
+(/root/reference/eval/base_model.py:522-546), MSMFormer, UOAIS-Net
+(base_model.py:174-222), SAM-HQ (refiner_model.py:554-664) and CascadePSP.
+Without per-model importers, metric parity with reference checkpoints can
+never be measured. This module mirrors import_torch.import_mask_refiner's
+structure for each zoo member: an exact key mapping from the reference
+module tree onto the corresponding quber_tpu flax model.
+
+Each importer returns {"params": ..., "batch_stats": ...} ready for
+model.apply. Tensor layout conversion is shared with import_torch
+(OIHW->HWIO convs, [O,I]->[I,O] linears).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quber_tpu.models.import_torch import conv_kernel, conv_kernel_inv, linear_kernel
+
+
+class _ZooBuilder:
+    """Accumulates params/batch_stats from torch-key inserts.
+
+    Unlike import_torch._Builder (detectron2 ConvNorm layout), the zoo
+    models use plain flax submodules: nn.Conv named "conv"/"kernel" leaf,
+    nn.BatchNorm with separate batch_stats, custom PReLU with an "alpha"
+    leaf.
+    """
+
+    def __init__(self, sd: dict):
+        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        self.params: dict = {}
+        self.batch_stats: dict = {}
+        self.used: set = set()
+
+    def _insert(self, tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    def take(self, key):
+        self.used.add(key)
+        return self.sd[key]
+
+    # -- leaf kinds -------------------------------------------------------
+    def conv(self, fpath, tkey, bias=None):
+        """torch Conv2d `tkey` -> flax nn.Conv at fpath."""
+        self._insert(self.params, fpath + ["kernel"], conv_kernel(self.take(f"{tkey}.weight")))
+        if bias is None:
+            bias = f"{tkey}.bias" in self.sd
+        if bias:
+            self._insert(self.params, fpath + ["bias"], self.take(f"{tkey}.bias"))
+
+    def linear(self, fpath, tkey, bias=None):
+        self._insert(self.params, fpath + ["kernel"], linear_kernel(self.take(f"{tkey}.weight")))
+        if bias is None:
+            bias = f"{tkey}.bias" in self.sd
+        if bias:
+            self._insert(self.params, fpath + ["bias"], self.take(f"{tkey}.bias"))
+
+    def bn(self, fpath, tkey):
+        """torch BatchNorm2d -> flax nn.BatchNorm (params + batch_stats)."""
+        self._insert(self.params, fpath + ["scale"], self.take(f"{tkey}.weight"))
+        self._insert(self.params, fpath + ["bias"], self.take(f"{tkey}.bias"))
+        self._insert(self.batch_stats, fpath + ["mean"], self.take(f"{tkey}.running_mean"))
+        self._insert(self.batch_stats, fpath + ["var"], self.take(f"{tkey}.running_var"))
+        self.used.add(f"{tkey}.num_batches_tracked")
+
+    def prelu(self, fpath, tkey):
+        """torch nn.PReLU weight -> quber layers.PReLU alpha."""
+        self._insert(self.params, fpath + ["alpha"], self.take(f"{tkey}.weight"))
+
+    def layernorm(self, fpath, tkey):
+        self._insert(self.params, fpath + ["scale"], self.take(f"{tkey}.weight"))
+        self._insert(self.params, fpath + ["bias"], self.take(f"{tkey}.bias"))
+
+    def done(self):
+        unused = set(self.sd) - self.used - {
+            k for k in self.sd if k.endswith("num_batches_tracked")
+        }
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "unused_keys": sorted(unused),
+        }
+
+
+def _result(b: _ZooBuilder, strict: bool):
+    out = b.done()
+    if strict and out["unused_keys"]:
+        raise KeyError(
+            f"{len(out['unused_keys'])} unmapped checkpoint keys, e.g. "
+            f"{out['unused_keys'][:5]}"
+        )
+    return {"params": out["params"], "batch_stats": out["batch_stats"]}
+
+
+# ---------------------------------------------------------------------------
+# CGNet (foreground_segmentation/cgnet.py; checkpoint rgbd_fg.pth['model'])
+# ---------------------------------------------------------------------------
+
+
+def _cg_convbnprelu(b, fpath, tkey):
+    b.conv(fpath + ["conv"], f"{tkey}.conv")
+    b.bn(fpath + ["bn"], f"{tkey}.bn")
+    b.prelu(fpath + ["act"], f"{tkey}.act")
+
+
+def _cg_bnprelu(b, fpath, tkey):
+    b.bn(fpath + ["bn"], f"{tkey}.bn")
+    b.prelu(fpath + ["act"], f"{tkey}.act")
+
+
+def _cg_fglo(b, fpath, tkey):
+    b.linear(fpath + ["fc1"], f"{tkey}.fc.0")
+    b.linear(fpath + ["fc2"], f"{tkey}.fc.2")
+
+
+def _cg_block_down(b, fpath, tkey):
+    _cg_convbnprelu(b, fpath + ["conv1x1"], f"{tkey}.conv1x1")
+    b.conv(fpath + ["f_loc"], f"{tkey}.F_loc.conv")
+    b.conv(fpath + ["f_sur"], f"{tkey}.F_sur.conv")
+    b.bn(fpath + ["bn"], f"{tkey}.bn")
+    b.prelu(fpath + ["act"], f"{tkey}.act")
+    b.conv(fpath + ["reduce"], f"{tkey}.reduce.conv")
+    _cg_fglo(b, fpath + ["f_glo"], f"{tkey}.F_glo")
+
+
+def _cg_block(b, fpath, tkey):
+    _cg_convbnprelu(b, fpath + ["conv1x1"], f"{tkey}.conv1x1")
+    b.conv(fpath + ["f_loc"], f"{tkey}.F_loc.conv")
+    b.conv(fpath + ["f_sur"], f"{tkey}.F_sur.conv")
+    _cg_bnprelu(b, fpath + ["bn_prelu"], f"{tkey}.bn_prelu")
+    _cg_fglo(b, fpath + ["f_glo"], f"{tkey}.F_glo")
+
+
+def import_cgnet(state_dict: dict, m: int = 3, n: int = 21,
+                 strict: bool = True) -> dict:
+    """Context_Guided_Network state_dict -> quber_tpu.models.CGNet tree.
+
+    Reference module tree: foreground_segmentation/cgnet.py:275-341
+    (level1_0..2, b1, level2_0 + level2 ModuleList, bn_prelu_2, level3_0 +
+    level3, bn_prelu_3, classifier Sequential).
+    """
+    b = _ZooBuilder(state_dict)
+    for i in range(3):
+        _cg_convbnprelu(b, [f"level1_{i}"], f"level1_{i}")
+    _cg_bnprelu(b, ["b1"], "b1")
+    _cg_block_down(b, ["level2_0"], "level2_0")
+    for i in range(m - 1):
+        _cg_block(b, [f"level2_{i + 1}"], f"level2.{i}")
+    _cg_bnprelu(b, ["bn_prelu_2"], "bn_prelu_2")
+    _cg_block_down(b, ["level3_0"], "level3_0")
+    for i in range(n - 1):
+        _cg_block(b, [f"level3_{i + 1}"], f"level3.{i}")
+    _cg_bnprelu(b, ["bn_prelu_3"], "bn_prelu_3")
+    b.conv(["classifier"], "classifier.0.conv")
+    return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# LMFFNet (foreground_segmentation/lmffnet.py; rgbd_lmffnet.pth['model'])
+# ---------------------------------------------------------------------------
+
+
+def _lm_bnprelu(b, fpath, tkey):
+    b.bn(fpath + ["bn"], f"{tkey}.bn")
+    b.prelu(fpath + ["act"], f"{tkey}.acti")
+
+
+def _lm_convunit(b, fpath, tkey, bn_acti: bool):
+    b.conv(fpath + ["conv"], f"{tkey}.conv")
+    if bn_acti:
+        _lm_bnprelu(b, fpath + ["bn_prelu"], f"{tkey}.bn_prelu")
+
+
+def _lm_semb(b, fpath, tkey):
+    _lm_convunit(b, fpath + ["conv3x3"], f"{tkey}.conv3x3", True)
+    _lm_convunit(b, fpath + ["dconv_left"], f"{tkey}.dconv_left", True)
+    _lm_convunit(b, fpath + ["dconv_right"], f"{tkey}.dconv_right", True)
+    _lm_convunit(b, fpath + ["resume_3x3"], f"{tkey}.conv3x3_resume.conv3x3", True)
+    _lm_convunit(b, fpath + ["resume_1x1"], f"{tkey}.conv3x3_resume.conv1x1_resume", False)
+    _lm_bnprelu(b, fpath + ["bn_out"], f"{tkey}.bn_relu_1")
+
+
+def _lm_ffmb(b, fpath, tkey):
+    b.conv(fpath + ["pmca", "conv2x2"], f"{tkey}.PMCA.conv2x2.conv")
+    b.linear(fpath + ["pmca", "se", "fc1"], f"{tkey}.PMCA.SE_Block.fc.0")
+    b._insert(b.params, fpath + ["pmca", "se", "prelu_alpha"],
+              b.take(f"{tkey}.PMCA.SE_Block.fc.1.weight"))
+    b.linear(fpath + ["pmca", "se", "fc2"], f"{tkey}.PMCA.SE_Block.fc.2")
+    _lm_bnprelu(b, fpath + ["bn_prelu"], f"{tkey}.bn_prelu")
+    _lm_convunit(b, fpath + ["conv1x1"], f"{tkey}.conv1x1", False)
+
+
+def import_lmffnet(state_dict: dict, block_1: int = 3, block_2: int = 8,
+                   strict: bool = True) -> dict:
+    """LMFFNet state_dict -> quber_tpu.models.LMFFNet tree.
+
+    Reference module tree: foreground_segmentation/lmffnet.py:283-341
+    (Init_Block Sequential, FFM_A, downsample_1, SEM_B_Block1 nested
+    Sequential named SEM_Block_1{i}, FFM_B1, downsample_2, SEM_B_Block2,
+    FFM_B2, MAD).
+    """
+    b = _ZooBuilder(state_dict)
+    for i in range(3):
+        _lm_convunit(b, [f"init_{i}"], f"Init_Block.init_conv.{i}", True)
+    _lm_bnprelu(b, ["ffm_a", "bn_prelu"], "FFM_A.bn_prelu")
+    _lm_convunit(b, ["ffm_a", "conv1x1"], "FFM_A.conv1x1", False)
+    _lm_convunit(b, ["downsample_1", "conv3x3"], "downsample_1.conv3x3", False)
+    _lm_bnprelu(b, ["downsample_1", "bn_prelu"], "downsample_1.bn_prelu")
+    for i in range(block_1):
+        _lm_semb(b, [f"sem_b1_{i}"], f"SEM_B_Block1.SEM_B_Block.SEM_Block_1{i}")
+    _lm_ffmb(b, ["ffm_b1"], "FFM_B1")
+    _lm_convunit(b, ["downsample_2", "conv3x3"], "downsample_2.conv3x3", False)
+    _lm_bnprelu(b, ["downsample_2", "bn_prelu"], "downsample_2.bn_prelu")
+    for i in range(block_2):
+        _lm_semb(b, [f"sem_b2_{i}"], f"SEM_B_Block2.SEM_B_Block.SEM_Block_2{i}")
+    _lm_ffmb(b, ["ffm_b2"], "FFM_B2")
+    _lm_convunit(b, ["mad", "mid_1x1"], "MAD.mid_layer_1x1", False)
+    _lm_convunit(b, ["mad", "deep_1x1"], "MAD.deep_layer_1x1", False)
+    _lm_convunit(b, ["mad", "dw1"], "MAD.DwConv1", True)
+    _lm_convunit(b, ["mad", "pw1"], "MAD.PwConv1", False)
+    _lm_convunit(b, ["mad", "dw2"], "MAD.DwConv2", True)
+    _lm_convunit(b, ["mad", "pw2"], "MAD.PwConv2", False)
+    return _result(b, strict)
