@@ -1,13 +1,19 @@
-"""CascadePSP-RGBD refiner baseline (PSPNet + cascade mask refinement).
+"""CascadePSP-RGBD refiner baseline (PSPNet_UOAIS, weight-compatible port).
 
 TPU-native rebuild of the reference baseline
-(/root/reference/eval/cascadepsp_rgbd.py:9-327, pspnet.py, extractors.py):
-a PSPNet over a ResNet-50 trunk whose input is RGB(3) + depth(3) + the mask
-to refine(1) + two previous-scale masks(2) = 9 channels, refining ONE mask
-per forward. The reference's data-dependent high-res crop loop
-(process_high_res_im) becomes a fixed two-pass cascade — a global pass at
-224x224 followed by one fixed-size ROI zoom pass — vmapped over the
-instance axis so all masks refine in a single XLA program.
+(/root/reference/pspnet.py:9-293 PSPNet_UOAIS + PSPModule + PSPUpsample,
+/root/reference/extractors.py:189-249 ResNet_UOAIS resnet50 extractor,
+wrapper /root/reference/eval/refiner_model.py:300-404): a PSPNet over a
+7-channel input (ImageNet-normalized RGB(3) + depth(1) + mask(1)x3 with the
+[-1,1] seg normalization), whose forward internally runs the trunk three
+times with tanh prediction feedback (s8 -> s4 -> s1 cascade).
+
+The module tree mirrors the reference layer-for-layer so
+import_zoo.import_cascadepsp can load the reference's trained
+`model_40000` checkpoints; SynchronizedBatchNorm2d == BatchNorm in eval
+mode. The reference's data-dependent high-res crop loop
+(eval/cascadepsp_rgbd.py process_high_res_im_depth, L=900) becomes a
+fixed-shape global + ROI-zoom cascade vmapped over the instance axis.
 """
 
 from __future__ import annotations
@@ -18,74 +24,228 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from quber_tpu.models.layers import ConvNorm, upsample_bilinear
-from quber_tpu.models.resnet import ResNetTrunk
+from quber_tpu.models.layers import upsample_bilinear
 
 
-class PyramidPooling(nn.Module):
-    """PSP module: {1, 2, 3, 6}-bin average pools + 1x1 convs, concat."""
+def _bn(train, name):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
 
-    features: int = 512
-    bins: tuple = (1, 2, 3, 6)
-    norm: str = "GN"
+
+class Bottleneck(nn.Module):
+    """extractors.py:218-249 Bottleneck (torchvision naming)."""
+
+    planes: int
+    strides: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        p, dil = self.planes, self.dilation
+        y = nn.Conv(p, (1, 1), use_bias=False, dtype=d, name="conv1")(x)
+        y = _bn(self.train, "bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(p, (3, 3), strides=(self.strides, self.strides),
+                    padding=[(dil, dil)] * 2, kernel_dilation=(dil, dil),
+                    use_bias=False, dtype=d, name="conv2")(y)
+        y = _bn(self.train, "bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(p * 4, (1, 1), use_bias=False, dtype=d, name="conv3")(y)
+        y = _bn(self.train, "bn3")(y)
+        if self.has_downsample:
+            sc = nn.Conv(p * 4, (1, 1), strides=(self.strides, self.strides),
+                         use_bias=False, dtype=d, name="downsample_conv")(x)
+            sc = _bn(self.train, "downsample_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class ResNetPSP(nn.Module):
+    """extractors.py ResNet_UOAIS: 7-ch stem, layer3/4 stride-1 dilated.
+
+    Returns (layer4 /8 2048ch, conv1 /2 64ch, layer1 /4 256ch) matching the
+    reference's (x, x_1, x_2)."""
+
+    in_channels: int = 7
+    layers: tuple = (3, 4, 6, 3)
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        x1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                     use_bias=False, dtype=d, name="conv1")(x)
+        y = nn.relu(_bn(self.train, "bn1")(x1))
+        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2))
+        specs = [  # (planes, stride, dilation) per reference _make_layer
+            (64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)
+        ]
+        feats = []
+        for li, ((planes, stride, dil), n) in enumerate(zip(specs, self.layers)):
+            for bi in range(n):
+                # reference quirk (_make_layer): the FIRST block of each
+                # layer gets dilation=1 (default arg), later blocks get the
+                # layer dilation
+                y = Bottleneck(
+                    planes, strides=stride if bi == 0 else 1,
+                    dilation=1 if bi == 0 else dil,
+                    has_downsample=(bi == 0 and (stride != 1 or li != 0 or planes * 4 != 64)),
+                    train=self.train, dtype=d, name=f"layer{li + 1}_{bi}",
+                )(y)
+            feats.append(y)
+        return feats[3], x1, feats[0]
+
+
+class PSPModule(nn.Module):
+    """pspnet.py:9-27: adaptive-pool pyramid + 1x1 bottleneck."""
+
+    out_features: int = 1024
+    sizes: tuple = (1, 2, 3, 6)
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        outs = [x]
 
-        def adaptive_pool(x, out_h, out_w):
-            # torch AdaptiveAvgPool2d semantics: cell (i, j) averages rows
-            # [floor(i*h/oh), ceil((i+1)*h/oh)) — works for out > in too
+        def adaptive_pool(x, oh, ow):
+            # torch AdaptiveAvgPool2d: cell (i,j) averages rows
+            # [floor(i*h/oh), ceil((i+1)*h/oh))
             rows = []
-            for i in range(out_h):
-                r0, r1 = (i * h) // out_h, -(-((i + 1) * h) // out_h)
+            for i in range(oh):
+                r0, r1 = (i * h) // oh, -(-((i + 1) * h) // oh)
                 cols = []
-                for j in range(out_w):
-                    c0, c1 = (j * w) // out_w, -(-((j + 1) * w) // out_w)
+                for j in range(ow):
+                    c0, c1 = (j * w) // ow, -(-((j + 1) * w) // ow)
                     cols.append(x[:, r0:r1, c0:c1].mean(axis=(1, 2)))
                 rows.append(jnp.stack(cols, axis=1))
-            return jnp.stack(rows, axis=1)  # [B, oh, ow, C]
+            return jnp.stack(rows, axis=1)
 
-        for i, bin_size in enumerate(self.bins):
-            pooled = adaptive_pool(x, bin_size, bin_size)
-            pooled = ConvNorm(self.features // len(self.bins), 1, use_bias=False,
-                              norm=self.norm, act=nn.relu, train=self.train,
-                              dtype=self.dtype, name=f"branch_{i}")(pooled)
-            outs.append(upsample_bilinear(pooled, size=(h, w)))
-        return jnp.concatenate(outs, axis=-1)
+        priors = []
+        for i, size in enumerate(self.sizes):
+            p = adaptive_pool(x, size, size)
+            p = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"stage_{i}")(p)
+            priors.append(upsample_bilinear(p, size=(h, w)))
+        bottle = nn.Conv(self.out_features, (1, 1), dtype=self.dtype,
+                         name="bottleneck")(jnp.concatenate(priors + [x], -1))
+        return nn.relu(bottle)
 
 
-class PSPNetRefiner(nn.Module):
-    """PSPNet over 9-channel input; predicts the refined mask logit."""
+class PSPUpsample(nn.Module):
+    """pspnet.py:30-60: x2 upsample + double residual conv stack."""
 
-    norm: str = "GN"
+    out_channels: int
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, up):
         t, d = self.train, self.dtype
-        h, w = x.shape[1], x.shape[2]
-        feats = ResNetTrunk(
-            depth=50, stem_type="basic", stem_out_channels=64,
-            out_features=("res2", "res5"), norm=self.norm, train=t, dtype=d,
-            name="trunk",
-        )(x.astype(d))
-        y = PyramidPooling(512, norm=self.norm, train=t, dtype=d, name="ppm")(feats["res5"])
-        y = ConvNorm(512, 3, use_bias=False, norm=self.norm, act=nn.relu,
-                     train=t, dtype=d, name="fuse")(y)
-        # skip connection from res2 for boundary detail
-        skip = ConvNorm(64, 1, use_bias=False, norm=self.norm, act=nn.relu,
-                        train=t, dtype=d, name="skip")(feats["res2"])
-        y = upsample_bilinear(y, size=(skip.shape[1], skip.shape[2]))
-        y = jnp.concatenate([y, skip], axis=-1)
-        y = ConvNorm(128, 3, use_bias=False, norm=self.norm, act=nn.relu,
-                     train=t, dtype=d, name="refine")(y)
-        logit = nn.Conv(1, (1, 1), dtype=d, name="predictor")(y)
-        return upsample_bilinear(logit.astype(jnp.float32), size=(h, w))
+        h, w = x.shape[1] * 2, x.shape[2] * 2
+        x = upsample_bilinear(x, size=(h, w))
+        cat = jnp.concatenate([x, up], axis=-1)
+
+        def block(y, prefix):
+            y = nn.relu(_bn(t, f"{prefix}_bn0")(y))
+            y = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=d,
+                        name=f"{prefix}_conv0")(y)
+            y = nn.relu(_bn(t, f"{prefix}_bn1")(y))
+            return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=d,
+                           name=f"{prefix}_conv1")(y)
+
+        p = block(cat, "conv") + nn.Conv(self.out_channels, (1, 1), dtype=d,
+                                         name="shortcut")(x)
+        return p + block(p, "conv2")
+
+
+class PSPNetUOAIS(nn.Module):
+    """pspnet.py:175-293 PSPNet_UOAIS: the full 3-iteration cascade forward.
+
+    Input (NHWC): rgb [B,H,W,3] ImageNet-normalized, depth [B,H,W,1] in
+    [0,1], seg [B,H,W,1] in [-1,1]. Returns dict with out_224 (final
+    logit), pred_224, and the intermediate s8/s56 outputs.
+    """
+
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, depth, seg):
+        t, d = self.train, self.dtype
+        h, w = rgb.shape[1], rgb.shape[2]
+        feats = ResNetPSP(train=t, dtype=d, name="feats")
+        psp = PSPModule(1024, (1, 2, 3, 6), t, d, name="psp")
+        up_1 = PSPUpsample(512, t, d, name="up_1")
+        up_2 = PSPUpsample(256, t, d, name="up_2")
+        up_3 = PSPUpsample(32, t, d, name="up_3")
+
+        f28_0 = nn.Conv(32, (1, 1), dtype=d, name="final_28_0")
+        f28_2 = nn.Conv(1, (1, 1), dtype=d, name="final_28_2")
+        f56_0 = nn.Conv(32, (1, 1), dtype=d, name="final_56_0")
+        f56_2 = nn.Conv(1, (1, 1), dtype=d, name="final_56_2")
+
+        def final_28(p):
+            return f28_2(nn.relu(f28_0(p)))
+
+        def final_56(p):
+            return f56_2(nn.relu(f56_0(p)))
+
+        images = {}
+        # iteration 1: s8
+        x = jnp.concatenate([rgb, depth, seg, seg, seg], axis=-1).astype(d)
+        f, _, _ = feats(x)
+        p = psp(f)
+        inter_s8 = final_28(p)
+        r_inter_s8 = upsample_bilinear(inter_s8, size=(h, w))
+        r_inter_tanh_s8 = jnp.tanh(r_inter_s8)
+        images["out_28"] = r_inter_s8.astype(jnp.float32)
+
+        # iteration 2: s4
+        x = jnp.concatenate([rgb, depth, seg, r_inter_tanh_s8,
+                             r_inter_tanh_s8], axis=-1).astype(d)
+        f, f_1, f_2 = feats(x)
+        p = psp(f)
+        inter_s8_2 = final_28(p)
+        r_inter_s8_2 = upsample_bilinear(inter_s8_2, size=(h, w))
+        r_inter_tanh_s8_2 = jnp.tanh(r_inter_s8_2)
+        p = up_1(p, f_2)
+        inter_s4 = final_56(p)
+        r_inter_s4 = upsample_bilinear(inter_s4, size=(h, w))
+        r_inter_tanh_s4 = jnp.tanh(r_inter_s4)
+        images["out_28_2"] = r_inter_s8_2.astype(jnp.float32)
+        images["out_56"] = r_inter_s4.astype(jnp.float32)
+
+        # iteration 3: s1
+        x = jnp.concatenate([rgb, depth, seg, r_inter_tanh_s8_2,
+                             r_inter_tanh_s4], axis=-1).astype(d)
+        f, f_1, f_2 = feats(x)
+        p = psp(f)
+        inter_s8_3 = final_28(p)
+        images["out_28_3"] = upsample_bilinear(inter_s8_3, size=(h, w)).astype(jnp.float32)
+        p = up_1(p, f_2)
+        inter_s4_2 = final_56(p)
+        images["out_56_2"] = upsample_bilinear(inter_s4_2, size=(h, w)).astype(jnp.float32)
+        p = up_2(p, f_1)
+        p = up_3(p, rgb.astype(d))
+
+        p = nn.relu(nn.Conv(32, (1, 1), dtype=d, name="final_11")(
+            jnp.concatenate([p, rgb.astype(d)], axis=-1)))
+        p = nn.Conv(1, (1, 1), dtype=d, name="final_21")(p)
+        images["out_224"] = p.astype(jnp.float32)
+        images["pred_224"] = jax.nn.sigmoid(images["out_224"])
+        return images
+
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 class CascadePSPRefiner:
@@ -99,45 +259,44 @@ class CascadePSPRefiner:
     MAX_INSTANCES = 32
 
     def __init__(self, params=None, dataset="OSD", seed=0):
-        self.model = PSPNetRefiner()
+        self.model = PSPNetUOAIS()
         if params is None:
+            g = self.GLOBAL
             params = jax.jit(self.model.init)(
-                jax.random.PRNGKey(seed), jnp.zeros((1, self.GLOBAL, self.GLOBAL, 9))
+                jax.random.PRNGKey(seed), jnp.zeros((1, g, g, 3)),
+                jnp.zeros((1, g, g, 1)), jnp.zeros((1, g, g, 1)),
             )
         self.params = params
         self.dataset = dataset
         self._refine = jax.jit(self._refine_impl)
 
-    def _refine_impl(self, params, image, masks, valid):
-        """image [H, W, 6] f32 0..255; masks [N, H, W] f32.
+    def _apply(self, params, rgb, depth, seg):
+        out = self.model.apply(params, rgb, depth, seg)
+        return out["out_224"]
 
-        Cascade: global pass at GLOBAL^2 -> prediction-feedback pass -> a
-        local ROI zoom pass cropped around each mask's (expanded) box, the
-        fixed-shape counterpart of the reference's process_high_res_im crop
-        loop (cascadepsp_rgbd.py:9-131)."""
+    def _refine_impl(self, params, image, masks, valid):
+        """image [H, W, 6] f32 0..255 (rgb + 3ch depth); masks [N, H, W].
+
+        Fixed-shape counterpart of the reference's process_high_res_im_depth
+        crop loop (eval/cascadepsp_rgbd.py:9-131): a global pass at
+        GLOBAL^2 (the network itself cascades s8->s4->s1 internally),
+        followed by one ROI zoom pass around each mask's box."""
         from quber_tpu.models.ucn import instance_boxes_from_labels
         from quber_tpu.ops.boxes import roi_align
 
         g = self.GLOBAL
         h, w = masks.shape[1], masks.shape[2]
-        img_small = jax.image.resize(image, (g, g, 6), "bilinear") / 255.0
-        img_norm = image / 255.0
+        rgb = (image[..., :3] / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        depth = image[..., 3:4] / 255.0
+        rgb_small = jax.image.resize(rgb, (g, g, 3), "bilinear")
+        depth_small = jax.image.resize(depth, (g, g, 1), "bilinear")
 
         def global_pass(mask):
-            m_small = jax.image.resize(mask, (g, g), "bilinear")
-            inp = jnp.concatenate(
-                [img_small, m_small[..., None], m_small[..., None], m_small[..., None]],
-                axis=-1,
-            )
-            logit = self.model.apply(params, inp[None])[0, ..., 0]
-            # second cascade pass: feed the first-pass prediction back in
-            pred1 = jax.nn.sigmoid(logit)
-            inp2 = jnp.concatenate(
-                [img_small, m_small[..., None], pred1[..., None], pred1[..., None]],
-                axis=-1,
-            )
-            logit2 = self.model.apply(params, inp2[None])[0, ..., 0]
-            return jax.image.resize(logit2, mask.shape, "bilinear")
+            m = jax.image.resize(mask, (g, g), "bilinear")
+            seg = (m[..., None] - 0.5) / 0.5
+            logit = self._apply(params, rgb_small[None], depth_small[None],
+                                seg[None])[0, ..., 0]
+            return jax.image.resize(logit, mask.shape, "bilinear")
 
         logits = jax.vmap(global_pass)(masks.astype(jnp.float32))
         global_pred = jax.nn.sigmoid(logits)
@@ -153,14 +312,12 @@ class CascadePSPRefiner:
         boxes, bvalid = instance_boxes_from_labels(labels, n)
 
         def local_pass(box, gp, mask, ok):
-            crop_img = roi_align(img_norm, box[None], out_size=g)[0]
+            crop_rgb = roi_align(rgb, box[None], out_size=g)[0]
+            crop_depth = roi_align(depth, box[None], out_size=g)[0]
             crop_gp = roi_align(gp[..., None], box[None], out_size=g)[0, ..., 0]
-            crop_m = roi_align(mask[..., None].astype(jnp.float32), box[None], out_size=g)[0, ..., 0]
-            inp = jnp.concatenate(
-                [crop_img, crop_m[..., None], crop_gp[..., None], crop_gp[..., None]],
-                axis=-1,
-            )
-            logit = self.model.apply(params, inp[None])[0, ..., 0]
+            seg = (crop_gp[..., None] - 0.5) / 0.5
+            logit = self._apply(params, crop_rgb[None], crop_depth[None],
+                                seg[None])[0, ..., 0]
             # paste back: inverse-map full-res pixels into the crop
             ys = jnp.arange(h, dtype=jnp.float32)[:, None]
             xs = jnp.arange(w, dtype=jnp.float32)[None, :]

@@ -229,3 +229,52 @@ def import_lmffnet(state_dict: dict, block_1: int = 3, block_2: int = 8,
     _lm_convunit(b, ["mad", "dw2"], "MAD.DwConv2", True)
     _lm_convunit(b, ["mad", "pw2"], "MAD.PwConv2", False)
     return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# CascadePSP-RGBD (pspnet.py PSPNet_UOAIS; checkpoint model_40000 with the
+# DataParallel "module." prefix already stripped by the caller, as the
+# reference wrapper does at eval/refiner_model.py:315-320)
+# ---------------------------------------------------------------------------
+
+
+def import_cascadepsp(state_dict: dict, layers=(3, 4, 6, 3),
+                      strict: bool = True) -> dict:
+    """PSPNet_UOAIS state_dict -> quber_tpu.models.cascadepsp.PSPNetUOAIS.
+
+    Reference module tree: pspnet.py:175-203 (feats=ResNet_UOAIS, psp,
+    up_1..3, final_28/56 Sequentials, final_11/21) with torchvision-style
+    trunk naming (extractors.py:189-249). SynchronizedBatchNorm2d keys have
+    the plain BatchNorm layout.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    b = _ZooBuilder(sd)
+    b.conv(["feats", "conv1"], "feats.conv1")
+    b.bn(["feats", "bn1"], "feats.bn1")
+    for li, n in enumerate(layers):
+        for bi in range(n):
+            t = f"feats.layer{li + 1}.{bi}"
+            f = ["feats", f"layer{li + 1}_{bi}"]
+            for c in (1, 2, 3):
+                b.conv(f + [f"conv{c}"], f"{t}.conv{c}")
+                b.bn(f + [f"bn{c}"], f"{t}.bn{c}")
+            if f"{t}.downsample.0.weight" in b.sd:
+                b.conv(f + ["downsample_conv"], f"{t}.downsample.0")
+                b.bn(f + ["downsample_bn"], f"{t}.downsample.1")
+    for i in range(4):
+        b.conv(["psp", f"stage_{i}"], f"psp.stages.{i}.1")
+    b.conv(["psp", "bottleneck"], "psp.bottleneck")
+    for k in (1, 2, 3):
+        f = [f"up_{k}"]
+        for seq, pfx in (("conv", "conv"), ("conv2", "conv2")):
+            b.bn(f + [f"{pfx}_bn0"], f"up_{k}.{seq}.0")
+            b.conv(f + [f"{pfx}_conv0"], f"up_{k}.{seq}.2")
+            b.bn(f + [f"{pfx}_bn1"], f"up_{k}.{seq}.3")
+            b.conv(f + [f"{pfx}_conv1"], f"up_{k}.{seq}.5")
+        b.conv(f + ["shortcut"], f"up_{k}.shortcut")
+    for name in ("final_28", "final_56"):
+        b.conv([f"{name}_0"], f"{name}.0")
+        b.conv([f"{name}_2"], f"{name}.2")
+    b.conv(["final_11"], "final_11")
+    b.conv(["final_21"], "final_21")
+    return _result(b, strict)

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from quber_tpu.models.cascadepsp import PSPNetRefiner, PyramidPooling
+from quber_tpu.models.cascadepsp import PSPModule, PSPNetUOAIS
 from quber_tpu.models.sam_hq import SAMHQ, sam_hq_mask_loss
 from quber_tpu.train.fg_train import (
     class_balanced_weights,
@@ -15,22 +15,26 @@ from quber_tpu.train.fg_train import (
 )
 
 
-def test_pyramid_pooling_shapes(rng):
-    # branch channels = features/len(bins) must satisfy the 32-group GN
-    x = jnp.asarray(rng.rand(1, 24, 24, 256).astype(np.float32))
-    m = PyramidPooling(512)
+def test_psp_module_shapes(rng):
+    # 28x28 feature grid (not divisible by bins 3/6 — exercises the
+    # torch AdaptiveAvgPool2d floor/ceil cell bounds)
+    x = jnp.asarray(rng.rand(1, 28, 28, 256).astype(np.float32))
+    m = PSPModule(out_features=128)
     v = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(v, x)
-    assert out.shape == (1, 24, 24, 256 + 512)
+    assert out.shape == (1, 28, 28, 128)
 
 
-def test_pspnet_refiner_forward(rng):
-    x = jnp.asarray(rng.rand(1, 64, 64, 9).astype(np.float32))
-    m = PSPNetRefiner()
-    v = m.init(jax.random.PRNGKey(0), x)
-    out = m.apply(v, x)
-    assert out.shape == (1, 64, 64, 1)
-    assert np.isfinite(np.asarray(out)).all()
+def test_pspnet_uoais_forward(rng):
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(1, 64, 64, 1).astype(np.float32))
+    seg = jnp.asarray((rng.rand(1, 64, 64, 1) > 0.5).astype(np.float32) * 2 - 1)
+    m = PSPNetUOAIS()
+    v = m.init(jax.random.PRNGKey(0), rgb, depth, seg)
+    out = m.apply(v, rgb, depth, seg)
+    assert out["out_224"].shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["out_224"])).all()
+    assert set(out) >= {"out_28", "out_56", "out_224", "pred_224"}
 
 
 def test_sam_hq_tiny_forward(rng):

@@ -114,3 +114,75 @@ def _iter_leaves(tree):
             yield from _iter_leaves(v)
         else:
             yield v
+
+
+@pytest.mark.skipif(
+    not os.path.isfile("/root/reference/pspnet.py"),
+    reason="reference snapshot not available",
+)
+def test_cascadepsp_import_matches_reference_torch(rng):
+    """Oracle: reference PSPNet_UOAIS (SyncBN shimmed to BatchNorm — exact
+    in eval mode) vs flax PSPNetUOAIS with imported weights."""
+    import importlib.util
+    import types
+
+    import torch.nn as tnn
+
+    # the reference files import from the CascadePSP repo's package layout;
+    # shim the two package modules they need
+    sync = types.ModuleType("models.sync_batchnorm")
+    sync.SynchronizedBatchNorm2d = tnn.BatchNorm2d
+    models_pkg = types.ModuleType("models")
+    psp_pkg = types.ModuleType("models.psp")
+    saved = {k: sys.modules.get(k) for k in
+             ("models", "models.psp", "models.sync_batchnorm")}
+    sys.modules["models"] = models_pkg
+    sys.modules["models.sync_batchnorm"] = sync
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_extractors", "/root/reference/extractors.py")
+        extractors = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(extractors)
+        psp_pkg.extractors = extractors
+        sys.modules["models.psp"] = psp_pkg
+        spec = importlib.util.spec_from_file_location(
+            "ref_pspnet", "/root/reference/pspnet.py")
+        pspnet = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pspnet)
+
+        torch.manual_seed(0)
+        ref = pspnet.PSPNet_UOAIS(backend="resnet50_uoais", pretrained=False).eval()
+        _randomize_bn_stats(ref)
+
+        from quber_tpu.models.cascadepsp import PSPNetUOAIS
+
+        variables = IZ.import_cascadepsp(
+            {k: v.numpy() for k, v in ref.state_dict().items()}
+        )
+        model = PSPNetUOAIS()
+
+        rgb = rng.rand(1, 224, 224, 3).astype(np.float32)
+        depth = rng.rand(1, 224, 224, 1).astype(np.float32)
+        seg = (rng.rand(1, 224, 224, 1) > 0.5).astype(np.float32) * 2 - 1
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(np.transpose(rgb, (0, 3, 1, 2))),
+                torch.from_numpy(np.transpose(depth, (0, 3, 1, 2))),
+                torch.from_numpy(np.transpose(seg, (0, 3, 1, 2))),
+            )
+        got = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(seg),
+        )
+        for key in ("out_28", "out_56", "out_224"):
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(got[key]), (0, 3, 1, 2)),
+                want[key].numpy(), atol=5e-3,
+                err_msg=key,
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
