@@ -278,3 +278,65 @@ def import_cascadepsp(state_dict: dict, layers=(3, 4, 6, 3),
     b.conv(["final_11"], "final_11")
     b.conv(["final_21"], "final_21")
     return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# UCN (seg_resnet34_8s_embedding_cosine_rgbd_add; the UnseenObjectClustering
+# lib/ submodule is absent from the reference snapshot, so the mapping
+# targets the torchvision-style Resnet34_8s trunk naming the published UCN
+# checkpoints use, with branch prefixes auto-detected from the keys)
+# ---------------------------------------------------------------------------
+
+_RESNET34_BLOCKS = (3, 4, 6, 3)
+
+
+def _ucn_trunk(b, fpath, pfx):
+    b.conv(fpath + ["conv1"], f"{pfx}conv1")
+    b.bn(fpath + ["bn1"], f"{pfx}bn1")
+    for li, n in enumerate(_RESNET34_BLOCKS):
+        for bi in range(n):
+            t = f"{pfx}layer{li + 1}.{bi}"
+            f = fpath + [f"layer{li + 1}_{bi}"]
+            b.conv(f + ["conv1"], f"{t}.conv1")
+            b.bn(f + ["bn1"], f"{t}.bn1")
+            b.conv(f + ["conv2"], f"{t}.conv2")
+            b.bn(f + ["bn2"], f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in b.sd:
+                b.conv(f + ["downsample_conv"], f"{t}.downsample.0")
+                b.bn(f + ["downsample_bn"], f"{t}.downsample.1")
+
+
+def detect_ucn_prefixes(state_dict: dict) -> tuple[str, str]:
+    """(rgb_prefix, depth_prefix) of the two Resnet34_8s branches, found by
+    locating the 7x7 stem convs. Prefixes include the trailing dot."""
+    cands = []
+    for k, v in state_dict.items():
+        if k.endswith("conv1.weight") and np.asarray(v).ndim == 4 \
+                and np.asarray(v).shape[2:] == (7, 7):
+            cands.append(k[: -len("conv1.weight")])
+    cands = sorted(set(cands))
+    if len(cands) != 2:
+        raise KeyError(f"expected 2 stem convs, found prefixes {cands}")
+    depth_hints = ("depth", "xyz", "d_")
+    if any(h in cands[0].lower() for h in depth_hints):
+        return cands[1], cands[0]
+    return cands[0], cands[1]
+
+
+def import_ucn(state_dict: dict, strict: bool = True,
+               rgb_prefix: str | None = None,
+               depth_prefix: str | None = None) -> dict:
+    """UCN checkpoint -> quber_tpu.models.ucn.UCNEmbeddingNet tree.
+
+    Each branch = torchvision ResNet-34 trunk (dilated to stride 8; the
+    dilation config carries no weights) + the fully-conv `fc` embedding
+    head. Reference wrapper: /root/reference/eval/base_model.py:522-546.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    if rgb_prefix is None or depth_prefix is None:
+        rgb_prefix, depth_prefix = detect_ucn_prefixes(sd)
+    b = _ZooBuilder(sd)
+    for branch, pfx in (("rgb_branch", rgb_prefix), ("depth_branch", depth_prefix)):
+        _ucn_trunk(b, [branch, "trunk"], pfx)
+        b.conv([branch, "fc"], f"{pfx}fc")
+    return _result(b, strict)

@@ -21,72 +21,109 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from quber_tpu.models.layers import ConvNorm, max_pool_same, upsample_bilinear
+from quber_tpu.models.layers import max_pool_same, upsample_bilinear
 from quber_tpu.ops.meanshift import cluster_embeddings, l2_normalize
 
 
 class BasicBlock(nn.Module):
+    """torchvision-compatible BasicBlock (conv1/bn1/conv2/bn2/downsample)."""
+
     features: int
     stride: int = 1
-    norm: str = "GN"
+    dilation: int = 1
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        out = ConvNorm(self.features, 3, strides=self.stride, norm=self.norm,
-                       act=nn.relu, train=self.train, dtype=self.dtype, name="conv1")(x)
-        out = ConvNorm(self.features, 3, norm=self.norm, act=None,
-                       train=self.train, dtype=self.dtype, name="conv2")(out)
+        d, dil = self.dtype, self.dilation
+        out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(dil, dil)] * 2, kernel_dilation=(dil, dil),
+                      use_bias=False, dtype=d, name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                           epsilon=1e-5, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=[(dil, dil)] * 2,
+                      kernel_dilation=(dil, dil), use_bias=False, dtype=d,
+                      name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                           epsilon=1e-5, name="bn2")(out)
         if x.shape[-1] != self.features or self.stride > 1:
-            x = ConvNorm(self.features, 1, strides=self.stride, norm=self.norm,
-                         act=None, train=self.train, dtype=self.dtype, name="shortcut")(x)
+            x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                        use_bias=False, dtype=d, name="downsample_conv")(x)
+            x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                             epsilon=1e-5, name="downsample_bn")(x)
         return nn.relu(out + x)
 
 
 class ResNet34Trunk8s(nn.Module):
-    """ResNet-34 at output stride 8 (res4/res5 dilated instead of strided)."""
+    """ResNet-34 at output stride 8, torchvision dilation semantics.
 
-    norm: str = "GN"
+    Layer3/4 keep stride 1 with dilation doubled per replaced stride: the
+    first block of a dilated layer uses the PREVIOUS dilation, later blocks
+    the doubled one (torchvision resnet._make_layer(dilate=True) — the UCN
+    checkpoint's Resnet34_8s derives from the same torchvision trunk; the
+    lib/ submodule itself is absent from the reference snapshot).
+    """
+
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         t, d = self.train, self.dtype
-        x = ConvNorm(64, 7, strides=2, norm=self.norm, act=nn.relu,
-                     train=t, dtype=d, name="stem")(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=d, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not t, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(x)
+        x = nn.relu(x)
         x = max_pool_same(x, 3, 2)
-        blocks = [(64, 3, 1), (128, 4, 2), (256, 6, 1), (512, 3, 1)]
-        for s, (ch, n, stride) in enumerate(blocks):
+        # (features, blocks, stride, first_dilation, rest_dilation)
+        specs = [(64, 3, 1, 1, 1), (128, 4, 2, 1, 1),
+                 (256, 6, 1, 1, 2), (512, 3, 1, 2, 4)]
+        for s, (ch, n, stride, dil0, dil) in enumerate(specs):
             for b in range(n):
-                x = BasicBlock(ch, stride if b == 0 else 1, self.norm, t, d,
-                               name=f"res{s + 2}_{b}")(x)
+                x = BasicBlock(ch, stride if b == 0 else 1,
+                               dil0 if b == 0 else dil, t, d,
+                               name=f"layer{s + 1}_{b}")(x)
         return x  # stride 8, 512 ch
+
+
+class UCNBranch(nn.Module):
+    """One Resnet34_8s branch: trunk + 1x1 embedding conv (the fully-conv
+    'fc' head of Resnet34_8s) at stride 8."""
+
+    embed_dim: int = 64
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = ResNet34Trunk8s(self.train, self.dtype, name="trunk")(x)
+        return nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="fc")(f)
 
 
 class UCNEmbeddingNet(nn.Module):
     """Dual-branch (RGB + XYZ) stride-8 embedding network, 'add' fusion.
 
-    Returns unit-norm [B, H, W, embed_dim] embeddings at full resolution.
+    Returns unit-norm [B, H, W, embed_dim] embeddings at full resolution
+    (seg_resnet34_8s_embedding_cosine_rgbd_add: per-branch embeddings are
+    summed, upsampled x8 and normalized).
     """
 
     embed_dim: int = 64
-    norm: str = "GN"
+    norm: str = "BN"  # kept for config compatibility; trunk is BN
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, rgb, xyz):
         t, d = self.train, self.dtype
-        f_rgb = ResNet34Trunk8s(self.norm, t, d, name="rgb_trunk")(rgb.astype(d))
-        f_xyz = ResNet34Trunk8s(self.norm, t, d, name="depth_trunk")(xyz.astype(d))
-        f = f_rgb + f_xyz  # "rgbd_add" fusion
-        f = ConvNorm(256, 3, norm=self.norm, act=nn.relu, train=t, dtype=d,
-                     name="fuse")(f)
-        f = upsample_bilinear(f, scale=8)
-        emb = nn.Conv(self.embed_dim, (1, 1), dtype=d, name="embed")(f)
-        return l2_normalize(emb.astype(jnp.float32))
+        e_rgb = UCNBranch(self.embed_dim, t, d, name="rgb_branch")(rgb.astype(d))
+        e_xyz = UCNBranch(self.embed_dim, t, d, name="depth_branch")(xyz.astype(d))
+        emb = e_rgb + e_xyz  # "rgbd_add" fusion
+        emb = upsample_bilinear(emb.astype(jnp.float32), scale=8)
+        return l2_normalize(emb)
 
 
 # ---------------------------------------------------------------------------

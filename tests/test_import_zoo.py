@@ -116,6 +116,109 @@ def _iter_leaves(tree):
             yield v
 
 
+def _torch_resnet34_8s(num_units=64):
+    """Independent torch re-derivation of the Resnet34_8s branch with
+    torchvision state-dict naming (conv1/bn1/layer{1-4}.{i}/downsample/fc),
+    dilated to stride 8 — the layout the published UCN checkpoints carry
+    (the UnseenObjectClustering lib/ submodule is absent from the
+    reference snapshot; wrapper at eval/base_model.py:522-546)."""
+    import torch.nn as tnn
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, cin, cout, stride=1, dilation=1, downsample=False):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, dilation, dilation, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.relu = tnn.ReLU()
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, dilation, dilation, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = (
+                tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout),
+                ) if downsample else None
+            )
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idt)
+
+    class Resnet34_8s(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            specs = [(64, 64, 3, 1, 1, 1), (64, 128, 4, 2, 1, 1),
+                     (128, 256, 6, 1, 1, 2), (256, 512, 3, 1, 2, 4)]
+            for li, (cin, cout, n, stride, dil0, dil) in enumerate(specs):
+                blocks = []
+                for bi in range(n):
+                    blocks.append(BasicBlock(
+                        cin if bi == 0 else cout, cout,
+                        stride if bi == 0 else 1,
+                        dil0 if bi == 0 else dil,
+                        downsample=(bi == 0 and (stride != 1 or cin != cout)),
+                    ))
+                setattr(self, f"layer{li + 1}", tnn.Sequential(*blocks))
+            self.fc = tnn.Conv2d(512, num_units, 1)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in range(4):
+                x = getattr(self, f"layer{li + 1}")(x)
+            return self.fc(x)
+
+    return Resnet34_8s()
+
+
+def test_ucn_import_matches_torch_rederivation(rng):
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    torch.manual_seed(0)
+
+    class UCNTorch(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rgb_fcn = _torch_resnet34_8s(16)
+            self.depth_fcn = _torch_resnet34_8s(16)
+
+        def forward(self, rgb, xyz):
+            e = self.rgb_fcn(rgb) + self.depth_fcn(xyz)
+            e = tF.interpolate(e, scale_factor=8, mode="bilinear",
+                               align_corners=False)
+            return tF.normalize(e, dim=1)
+
+    ref = UCNTorch().eval()
+    _randomize_bn_stats(ref)
+
+    from quber_tpu.models.ucn import UCNEmbeddingNet
+
+    variables = IZ.import_ucn({k: v.numpy() for k, v in ref.state_dict().items()})
+    # auto-detected prefixes route rgb_fcn -> rgb_branch (depth hint absent
+    # from "rgb_fcn", present in "depth_fcn")
+    model = UCNEmbeddingNet(embed_dim=16)
+
+    rgb = rng.rand(1, 64, 64, 3).astype(np.float32)
+    xyz = rng.rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(np.transpose(rgb, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(xyz, (0, 3, 1, 2))),
+        ).numpy()
+    got = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(rgb), jnp.asarray(xyz),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=2e-4
+    )
+
+
 @pytest.mark.skipif(
     not os.path.isfile("/root/reference/pspnet.py"),
     reason="reference snapshot not available",
