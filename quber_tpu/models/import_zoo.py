@@ -340,3 +340,125 @@ def import_ucn(state_dict: dict, strict: bool = True,
         _ucn_trunk(b, [branch, "trunk"], pfx)
         b.conv([branch, "fc"], f"{pfx}fc")
     return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# SAM-HQ (sam-hq/segment_anything/modeling/*; checkpoints sam_hq_vit_{b,l,h}
+# .pth or the reference's fine-tuned sam_hq_epoch_*.pth,
+# eval/refiner_model.py:554-664)
+# ---------------------------------------------------------------------------
+
+
+def _sam_convT(b, fpath, tkey):
+    """torch ConvTranspose2d(2,2) [in,out,2,2] -> ConvTranspose2x2 kernel
+    [2,2,in,out]."""
+    w = b.take(f"{tkey}.weight")
+    b._insert(b.params, fpath + ["kernel"], np.transpose(w, (2, 3, 0, 1)))
+    b._insert(b.params, fpath + ["bias"], b.take(f"{tkey}.bias"))
+
+
+def _sam_ln2d(b, fpath, tkey):
+    b._insert(b.params, fpath + ["weight"], b.take(f"{tkey}.weight"))
+    b._insert(b.params, fpath + ["bias"], b.take(f"{tkey}.bias"))
+
+
+def _sam_mlp(b, fpath, tkey, n_layers=3):
+    for i in range(n_layers):
+        b.linear(fpath + [f"layers_{i}"], f"{tkey}.layers.{i}")
+
+
+def _sam_attn(b, fpath, tkey):
+    for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        b.linear(fpath + [p], f"{tkey}.{p}")
+
+
+def _sam_twoway(b, fpath, tkey, depth=2):
+    for i in range(depth):
+        t = f"{tkey}.layers.{i}"
+        f = fpath + [f"layers_{i}"]
+        _sam_attn(b, f + ["self_attn"], f"{t}.self_attn")
+        _sam_attn(b, f + ["cross_attn_token_to_image"], f"{t}.cross_attn_token_to_image")
+        _sam_attn(b, f + ["cross_attn_image_to_token"], f"{t}.cross_attn_image_to_token")
+        for j in (1, 2, 3, 4):
+            b.layernorm(f + [f"norm{j}"], f"{t}.norm{j}")
+        b.linear(f + ["mlp", "lin1"], f"{t}.mlp.lin1")
+        b.linear(f + ["mlp", "lin2"], f"{t}.mlp.lin2")
+    _sam_attn(b, fpath + ["final_attn_token_to_image"],
+              f"{tkey}.final_attn_token_to_image")
+    b.layernorm(fpath + ["norm_final_attn"], f"{tkey}.norm_final_attn")
+
+
+def import_sam_hq(state_dict: dict, depth: int | None = None,
+                  strict: bool = True) -> dict:
+    """SAM-HQ checkpoint -> quber_tpu.models.sam_hq.SAMHQ variables.
+
+    Handles the standard Sam layout (image_encoder / prompt_encoder /
+    mask_decoder=MaskDecoderHQ). The ViT depth is inferred from the block
+    keys when not given (12/24/32 for vit_b/l/h).
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    b = _ZooBuilder(sd)
+    enc = ["image_encoder"]
+    if depth is None:
+        depth = 1 + max(
+            int(k.split(".")[2]) for k in sd
+            if k.startswith("image_encoder.blocks.")
+        )
+    b.conv(enc + ["patch_embed"], "image_encoder.patch_embed.proj")
+    b._insert(b.params, enc + ["pos_embed"], b.take("image_encoder.pos_embed"))
+    for i in range(depth):
+        t = f"image_encoder.blocks.{i}"
+        f = enc + [f"block_{i}"]
+        b.layernorm(f + ["norm1"], f"{t}.norm1")
+        b.layernorm(f + ["norm2"], f"{t}.norm2")
+        b.linear(f + ["attn", "qkv"], f"{t}.attn.qkv")
+        b.linear(f + ["attn", "proj"], f"{t}.attn.proj")
+        b._insert(b.params, f + ["attn", "rel_pos_h"], b.take(f"{t}.attn.rel_pos_h"))
+        b._insert(b.params, f + ["attn", "rel_pos_w"], b.take(f"{t}.attn.rel_pos_w"))
+        b.linear(f + ["mlp", "lin1"], f"{t}.mlp.lin1")
+        b.linear(f + ["mlp", "lin2"], f"{t}.mlp.lin2")
+    b.conv(enc + ["neck_0"], "image_encoder.neck.0")
+    _sam_ln2d(b, enc + ["neck_1"], "image_encoder.neck.1")
+    b.conv(enc + ["neck_2"], "image_encoder.neck.2")
+    _sam_ln2d(b, enc + ["neck_3"], "image_encoder.neck.3")
+
+    pe = ["prompt_encoder"]
+    b._insert(b.params, pe + ["pe_gaussian"],
+              b.take("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"))
+    b._insert(b.params, pe + ["point_embeddings"], np.concatenate(
+        [b.take(f"prompt_encoder.point_embeddings.{i}.weight") for i in range(4)]))
+    b._insert(b.params, pe + ["not_a_point_embed"],
+              b.take("prompt_encoder.not_a_point_embed.weight")[0])
+    b._insert(b.params, pe + ["no_mask_embed"],
+              b.take("prompt_encoder.no_mask_embed.weight")[0])
+    b.conv(pe + ["mask_down_0"], "prompt_encoder.mask_downscaling.0")
+    _sam_ln2d(b, pe + ["mask_ln_1"], "prompt_encoder.mask_downscaling.1")
+    b.conv(pe + ["mask_down_2"], "prompt_encoder.mask_downscaling.3")
+    _sam_ln2d(b, pe + ["mask_ln_3"], "prompt_encoder.mask_downscaling.4")
+    b.conv(pe + ["mask_proj"], "prompt_encoder.mask_downscaling.6")
+
+    dec = ["mask_decoder"]
+    b._insert(b.params, dec + ["iou_token"], b.take("mask_decoder.iou_token.weight"))
+    b._insert(b.params, dec + ["mask_tokens"], b.take("mask_decoder.mask_tokens.weight"))
+    b._insert(b.params, dec + ["hf_token"], b.take("mask_decoder.hf_token.weight"))
+    _sam_twoway(b, dec + ["transformer"], "mask_decoder.transformer")
+    _sam_convT(b, dec + ["up_0"], "mask_decoder.output_upscaling.0")
+    _sam_ln2d(b, dec + ["up_ln_1"], "mask_decoder.output_upscaling.1")
+    _sam_convT(b, dec + ["up_3"], "mask_decoder.output_upscaling.3")
+    for i in range(4):
+        _sam_mlp(b, dec + [f"hyper_{i}"], f"mask_decoder.output_hypernetworks_mlps.{i}")
+    _sam_mlp(b, dec + ["iou_head"], "mask_decoder.iou_prediction_head")
+    _sam_mlp(b, dec + ["hf_mlp"], "mask_decoder.hf_mlp")
+    _sam_convT(b, dec + ["compress_vit_0"], "mask_decoder.compress_vit_feat.0")
+    _sam_ln2d(b, dec + ["compress_vit_ln_1"], "mask_decoder.compress_vit_feat.1")
+    _sam_convT(b, dec + ["compress_vit_3"], "mask_decoder.compress_vit_feat.3")
+    _sam_convT(b, dec + ["enc_0"], "mask_decoder.embedding_encoder.0")
+    _sam_ln2d(b, dec + ["enc_ln_1"], "mask_decoder.embedding_encoder.1")
+    _sam_convT(b, dec + ["enc_3"], "mask_decoder.embedding_encoder.3")
+    b.conv(dec + ["maskfeat_0"], "mask_decoder.embedding_maskfeature.0")
+    _sam_ln2d(b, dec + ["maskfeat_ln_1"], "mask_decoder.embedding_maskfeature.1")
+    b.conv(dec + ["maskfeat_3"], "mask_decoder.embedding_maskfeature.3")
+    # sam.py pixel_mean/pixel_std buffers carry no learnable state
+    for k in ("pixel_mean", "pixel_std"):
+        b.used.add(k)
+    return _result(b, strict)

@@ -323,16 +323,17 @@ class GroundedSAMBaseModel:
             embeds = self.text_encoder.apply(params["text"], self._ids, self._mask)
             out = self.grounder.apply(params["grounder"], rgb[None], embeds)
             ok = out["valid"] & (out["scores"] > box_threshold)
-            # SAM box prompts are normalized to the (square) SAM input
-            boxes = out["boxes"] / jnp.asarray([640.0, 480.0, 640.0, 480.0])
-            embed, early = self.sam.apply(params["sam"], sam_rgb[None],
-                                          method=_S.encode)
+            # SAM box prompts are pixel coords in the (square) SAM frame
+            boxes = out["boxes"] / jnp.asarray([640.0, 480.0, 640.0, 480.0]) * s
+            embed, interm = self.sam.apply(params["sam"], sam_rgb[None],
+                                           method=_S.encode)
 
             def one(box):
-                _, hq_logit, _ = self.sam.apply(
-                    params["sam"], embed, early, box[None], method=_S.decode_box
+                masks_out, _, _ = self.sam.apply(
+                    params["sam"], embed, interm, box[None], False, True,
+                    method=_S.decode_box
                 )
-                return hq_logit[0]
+                return masks_out[0, 0]
 
             masks_lr = jax.vmap(one)(boxes)  # [K, s/4, s/4]
             masks = jax.image.resize(

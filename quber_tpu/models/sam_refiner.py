@@ -57,14 +57,14 @@ class SAMAutomaticBaseModel:
         from quber_tpu.models.sam_hq import SAMHQ as _S
 
         def generate(params, image):
-            embed, early = self.model.apply(params, image[None], method=_S.encode)
+            embed, interm = self.model.apply(params, image[None], method=_S.encode)
 
             def one(pt):
-                sam_logit, hq_logit, iou = self.model.apply(
-                    params, embed, early, pt[None, None, :],
-                    jnp.ones((1, 1), jnp.int32), method=_S.decode_points,
+                masks, iou, _ = self.model.apply(
+                    params, embed, interm, pt[None, None, :] * self.img_size,
+                    jnp.ones((1, 1), jnp.int32), True, method=_S.decode_points,
                 )
-                return hq_logit[0], iou[0, 1]
+                return masks[0, 0], iou[0, 0]
 
             logits, ious = jax.vmap(one)(self._points)
             return logits, ious
@@ -122,9 +122,17 @@ class SAMHQRefiner:
     MAX_INSTANCES = 16
 
     def __init__(self, params=None, dataset="OSD", img_size=1024, seed=0,
-                 embed_dim=768, depth=12, num_heads=12, hq=True):
-        self.model = SAMHQ(img_size=img_size, embed_dim=embed_dim, depth=depth,
-                           num_heads=num_heads, dtype=jnp.bfloat16)
+                 preset=None, embed_dim=768, depth=12, num_heads=12,
+                 global_blocks=(2, 5, 8, 11), window_size=14, hq=True):
+        if preset is not None:
+            # "vit_h" matches the reference's fine-tuned HQ-SAM baseline
+            # (refiner_model.py:560-564 loads a ViT-H checkpoint)
+            self.model = SAMHQ.preset(preset, img_size=img_size, dtype=jnp.bfloat16)
+        else:
+            self.model = SAMHQ(img_size=img_size, embed_dim=embed_dim,
+                               depth=depth, num_heads=num_heads,
+                               global_blocks=global_blocks,
+                               window_size=window_size, dtype=jnp.bfloat16)
         self.img_size = img_size
         self.hq = hq
         self.dataset = dataset
@@ -137,15 +145,16 @@ class SAMHQRefiner:
         self.params = params
 
         def refine(params, image, masks, valid):
-            embed, early = self.model.apply(params, image[None], method=SAMHQ.encode)
+            embed, interm = self.model.apply(params, image[None], method=SAMHQ.encode)
 
             def one(mask_prompt):
-                sam_logit, hq_logit, iou = self.model.apply(
-                    params, embed, early, mask_prompt[None, ..., None],
-                    method=SAMHQ.decode,
+                masks_out, iou, all_masks = self.model.apply(
+                    params, embed, interm, mask_prompt[None, ..., None],
+                    False, self.hq, method=SAMHQ.decode,
                 )
-                logit = hq_logit if self.hq else sam_logit
-                return logit[0], iou[0]
+                # hq_token_only=True -> the HQ mask; else the pure SAM token
+                logit = masks_out[0, 0] if self.hq else all_masks[0, 0]
+                return logit, iou[0, 0]
 
             logits, ious = jax.vmap(one)(masks)
             return logits, ious

@@ -39,18 +39,19 @@ def test_pspnet_uoais_forward(rng):
 
 def test_sam_hq_tiny_forward(rng):
     # tiny ViT config to keep CPU time sane
-    model = SAMHQ(img_size=64, embed_dim=64, depth=2, num_heads=2)
+    model = SAMHQ(img_size=64, embed_dim=64, depth=2, num_heads=2,
+                  global_blocks=(1,), window_size=2)
     img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     prompt = jnp.asarray(rng.rand(1, 16, 16, 1).astype(np.float32))
     v = model.init(jax.random.PRNGKey(0), img, prompt)
-    sam_logit, hq_logit, iou = model.apply(v, img, prompt)
+    masks, iou, all_masks = model.apply(v, img, prompt)
     # image embedding grid = 64/16 = 4 -> masks at 4x upscale = 16
-    assert sam_logit.shape == (1, 16, 16)
-    assert hq_logit.shape == (1, 16, 16)
-    assert iou.shape == (1, 2)
+    assert masks.shape == (1, 1, 16, 16)
+    assert all_masks.shape == (1, 5, 16, 16)  # 4 SAM tokens + HQ token
+    assert iou.shape == (1, 1)
     # loss sanity
     target = jnp.asarray((rng.rand(1, 16, 16) > 0.5).astype(np.float32))
-    loss = sam_hq_mask_loss(hq_logit, target)
+    loss = sam_hq_mask_loss(masks[:, 0], target)
     assert np.isfinite(float(loss))
 
 
@@ -93,17 +94,18 @@ def test_weighted_ce_perfect_prediction():
 def test_sam_point_prompts(rng):
     from quber_tpu.models.sam_hq import SAMHQ, init_sam_variables
 
-    model = SAMHQ(img_size=64, embed_dim=64, depth=2, num_heads=2)
+    model = SAMHQ(img_size=64, embed_dim=64, depth=2, num_heads=2,
+                  global_blocks=(1,), window_size=2)
     v = init_sam_variables(model, jax.random.PRNGKey(0))
     img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
-    embed, early = model.apply(v, img, method=SAMHQ.encode)
-    pts = jnp.asarray(rng.rand(1, 2, 2).astype(np.float32))
+    embed, interm = model.apply(v, img, method=SAMHQ.encode)
+    pts = jnp.asarray(rng.rand(1, 2, 2).astype(np.float32) * 64)
     labels = jnp.ones((1, 2), jnp.int32)
-    sam_logit, hq_logit, iou = model.apply(
-        v, embed, early, pts, labels, method=SAMHQ.decode_points)
-    assert hq_logit.shape == (1, 16, 16)
-    assert np.isfinite(np.asarray(hq_logit)).all()
+    masks, iou, all_masks = model.apply(
+        v, embed, interm, pts, labels, method=SAMHQ.decode_points)
+    assert masks.shape == (1, 1, 16, 16)
+    assert np.isfinite(np.asarray(masks)).all()
     # mask-prompt path still works with the same variables
     prompt = jnp.zeros((1, 16, 16, 1))
-    sam2, hq2, iou2 = model.apply(v, embed, early, prompt, method=SAMHQ.decode)
-    assert hq2.shape == (1, 16, 16)
+    masks2, iou2, _ = model.apply(v, embed, interm, prompt, method=SAMHQ.decode)
+    assert masks2.shape == (1, 1, 16, 16)

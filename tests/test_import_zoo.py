@@ -219,6 +219,125 @@ def test_ucn_import_matches_torch_rederivation(rng):
     )
 
 
+SAM_DIR = "/root/reference/sam-hq/segment_anything/modeling"
+
+
+def _load_sam_modeling():
+    """Load the reference segment_anything.modeling files as a synthetic
+    package (the real package __init__ pulls torchvision/timm)."""
+    import importlib
+    import types
+
+    if "samref" not in sys.modules:
+        pkg = types.ModuleType("samref")
+        pkg.__path__ = [SAM_DIR]
+        sys.modules["samref"] = pkg
+    return {
+        name: importlib.import_module(f"samref.{name}")
+        for name in ("common", "image_encoder", "prompt_encoder",
+                     "transformer", "mask_decoder_hq")
+    }
+
+
+@pytest.mark.skipif(not os.path.isdir(SAM_DIR),
+                    reason="reference snapshot not available")
+def test_sam_hq_import_matches_reference_torch(rng):
+    """Oracle: tiny-config reference SAM-HQ (ViT encoder + prompt encoder +
+    HQ mask decoder) vs flax SAMHQ with imported weights, for both the
+    mask-prompt and point-prompt paths."""
+    from functools import partial
+
+    import torch.nn as tnn
+
+    mods = _load_sam_modeling()
+    torch.manual_seed(0)
+
+    class RefSamHQ(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = mods["image_encoder"].ImageEncoderViT(
+                img_size=64, patch_size=16, in_chans=3, embed_dim=32,
+                depth=3, num_heads=2,
+                norm_layer=partial(tnn.LayerNorm, eps=1e-6),
+                use_rel_pos=True, global_attn_indexes=[1], window_size=2,
+                out_chans=256,
+            )
+            self.prompt_encoder = mods["prompt_encoder"].PromptEncoder(
+                embed_dim=256, image_embedding_size=(4, 4),
+                input_image_size=(64, 64), mask_in_chans=16,
+            )
+            self.mask_decoder = mods["mask_decoder_hq"].MaskDecoderHQ(
+                transformer_dim=256,
+                transformer=mods["transformer"].TwoWayTransformer(
+                    depth=2, embedding_dim=256, mlp_dim=2048, num_heads=8),
+                num_multimask_outputs=3, vit_dim=32,
+            )
+
+    ref = RefSamHQ().eval()
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    from quber_tpu.models.sam_hq import SAMHQ
+
+    variables = IZ.import_sam_hq(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    model = SAMHQ(img_size=64, embed_dim=32, depth=3, num_heads=2,
+                  global_blocks=(1,), window_size=2)
+
+    img = rng.rand(1, 64, 64, 3).astype(np.float32)
+    mask_prompt = rng.rand(1, 16, 16, 1).astype(np.float32)
+
+    with torch.no_grad():
+        t_img = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)))
+        t_embed, t_interm = ref.image_encoder(t_img)
+        sparse, dense = ref.prompt_encoder(
+            points=None, boxes=None,
+            masks=torch.from_numpy(np.transpose(mask_prompt, (0, 3, 1, 2))))
+        want_masks, want_iou = ref.mask_decoder(
+            image_embeddings=t_embed,
+            image_pe=ref.prompt_encoder.get_dense_pe(),
+            sparse_prompt_embeddings=sparse,
+            dense_prompt_embeddings=dense,
+            multimask_output=False, hq_token_only=False,
+            interm_embeddings=t_interm,
+        )
+
+    fvars = {"params": variables["params"]}
+    embed, interm = model.apply(fvars, jnp.asarray(img), method=SAMHQ.encode)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(embed), (0, 3, 1, 2)), t_embed.numpy(),
+        atol=2e-4, err_msg="image embedding")
+    got_masks, got_iou, _ = model.apply(
+        fvars, embed, interm, jnp.asarray(mask_prompt), method=SAMHQ.decode)
+    np.testing.assert_allclose(np.asarray(got_iou), want_iou.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_masks), want_masks.numpy(),
+                               atol=2e-3, err_msg="mask-prompt masks")
+
+    # point-prompt path
+    pts = np.asarray([[[10.0, 20.0], [40.0, 7.0]]], np.float32)
+    labs = np.asarray([[1, 0]], np.int64)
+    with torch.no_grad():
+        sparse, dense = ref.prompt_encoder(
+            points=(torch.from_numpy(pts), torch.from_numpy(labs)),
+            boxes=None, masks=None)
+        want_masks, want_iou = ref.mask_decoder(
+            image_embeddings=t_embed,
+            image_pe=ref.prompt_encoder.get_dense_pe(),
+            sparse_prompt_embeddings=sparse,
+            dense_prompt_embeddings=dense,
+            multimask_output=True, hq_token_only=False,
+            interm_embeddings=t_interm,
+        )
+    got_masks, got_iou, _ = model.apply(
+        fvars, embed, interm, jnp.asarray(pts), jnp.asarray(labs.astype(np.int32)),
+        True, method=SAMHQ.decode_points)
+    np.testing.assert_allclose(np.asarray(got_iou), want_iou.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_masks), want_masks.numpy(),
+                               atol=2e-3, err_msg="point-prompt masks")
+
+
 @pytest.mark.skipif(
     not os.path.isfile("/root/reference/pspnet.py"),
     reason="reference snapshot not available",

@@ -54,14 +54,17 @@ def test_sam_decode_box_matches_corner_points(rng):
     # a box prompt is exactly its two corner points with labels (2, 3)
     from quber_tpu.models.sam_hq import SAMHQ, init_sam_variables
 
-    model = SAMHQ(img_size=64, embed_dim=32, depth=1, num_heads=2)
+    model = SAMHQ(img_size=64, embed_dim=32, depth=1, num_heads=2,
+                  global_blocks=(0,), window_size=2)
     v = init_sam_variables(model, jax.random.PRNGKey(0))
     img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
-    embed, early = model.apply(v, img, method=SAMHQ.encode)
-    box = jnp.asarray([[0.2, 0.3, 0.7, 0.8]])
-    out_box = model.apply(v, embed, early, box, method=SAMHQ.decode_box)
-    pts = jnp.asarray([[[0.2, 0.3], [0.7, 0.8]]])
+    embed, interm = model.apply(v, img, method=SAMHQ.encode)
+    box = jnp.asarray([[0.2, 0.3, 0.7, 0.8]]) * 64
+    out_box = model.apply(v, embed, interm, box, method=SAMHQ.decode_box)
+    pts = jnp.asarray([[[0.2, 0.3], [0.7, 0.8]]]) * 64
     labels = jnp.asarray([[2, 3]], jnp.int32)
-    out_pts = model.apply(v, embed, early, pts, labels, method=SAMHQ.decode_points)
+    # pad=False: the reference pads point-only prompts but not box prompts
+    out_pts = model.apply(v, embed, interm, pts, labels, False, False, False,
+                          method=SAMHQ.decode_points)
     for a, b in zip(out_box, out_pts):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
