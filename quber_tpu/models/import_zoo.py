@@ -462,3 +462,44 @@ def import_sam_hq(state_dict: dict, depth: int | None = None,
     for k in ("pixel_mean", "pixel_std"):
         b.used.add(k)
     return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# CLIP text tower (for the Detic / GroundedSAM open-vocabulary seam,
+# eval/base_model.py:108-172,301-440; accepts a full CLIP state dict and
+# ignores the visual tower)
+# ---------------------------------------------------------------------------
+
+
+def import_clip_text(state_dict: dict, strict: bool = True) -> dict:
+    """CLIP state dict -> quber_tpu.models.clip_text.CLIPTextEncoder tree.
+
+    Handles both a full CLIP model (visual.* ignored) and a text-only
+    state dict. Layer count inferred from transformer.resblocks keys.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    b = _ZooBuilder(sd)
+    layers = 1 + max(
+        int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks.")
+    )
+    b._insert(b.params, ["token_embedding"], b.take("token_embedding.weight"))
+    b._insert(b.params, ["positional_embedding"], b.take("positional_embedding"))
+    for i in range(layers):
+        t = f"transformer.resblocks.{i}"
+        f = [f"resblock_{i}"]
+        b.layernorm(f + ["ln_1"], f"{t}.ln_1")
+        b._insert(b.params, f + ["in_proj", "kernel"],
+                  linear_kernel(b.take(f"{t}.attn.in_proj_weight")))
+        b._insert(b.params, f + ["in_proj", "bias"],
+                  b.take(f"{t}.attn.in_proj_bias"))
+        b.linear(f + ["out_proj"], f"{t}.attn.out_proj")
+        b.layernorm(f + ["ln_2"], f"{t}.ln_2")
+        b.linear(f + ["c_fc"], f"{t}.mlp.c_fc")
+        b.linear(f + ["c_proj"], f"{t}.mlp.c_proj")
+    b.layernorm(["ln_final"], "ln_final")
+    # torch applies pooled @ text_projection directly: no transpose
+    b._insert(b.params, ["text_projection"], b.take("text_projection"))
+    for k in list(sd):
+        if k.startswith("visual.") or k in ("logit_scale",):
+            b.used.add(k)
+    return _result(b, strict)

@@ -245,31 +245,61 @@ class DeticDetector(nn.Module):
         }
 
 
+def make_text_tower(texts, bpe_path=None, clip_config=None):
+    """Text tower factory: the exact CLIP stack when a BPE merges file is
+    supplied (quber_tpu.models.clip_text — real CLIP weights load via
+    import_zoo.import_clip_text), else the hash-bucket fallback tower.
+
+    Returns (encoder_module, init_fn(key)->params, apply_fn(params)->[K,D]).
+    """
+    if bpe_path is not None:
+        from quber_tpu.models.clip_text import CLIPTextEncoder, CLIPTokenizer
+
+        encoder = CLIPTextEncoder(**(clip_config or {}))
+        tokenizer = CLIPTokenizer(bpe_path, context_length=encoder.context_length)
+        ids = jnp.asarray(tokenizer([t.replace("_", " ") for t in texts]))
+        return (
+            encoder,
+            lambda key: jax.jit(encoder.init)(key, ids),
+            lambda tp: encoder.apply(tp, ids),
+        )
+    encoder = TextEncoder()
+    ids, mask = hash_tokenize(texts)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    return (
+        encoder,
+        lambda key: jax.jit(encoder.init)(key, ids, mask),
+        lambda tp: encoder.apply(tp, ids, mask),
+    )
+
+
 class DeticBaseModel:
     """Eval-harness wrapper (reference base_model.py:108-172 semantics):
-    per-dataset custom vocabulary, confidence threshold 0.5."""
+    per-dataset custom vocabulary, confidence threshold 0.5. Pass
+    `bpe_path` (+ CLIP text params imported via import_clip_text in
+    `params["text"]`) for the real CLIP vocabulary embedding."""
 
     def __init__(self, params=None, dataset="OSD", seed=0,
-                 confidence_threshold=0.5, vocabulary=None):
+                 confidence_threshold=0.5, vocabulary=None,
+                 bpe_path=None, clip_config=None):
         self.dataset = dataset
         self.vocabulary = vocabulary or VOCABULARIES.get(dataset, ["object"])
-        self.text_encoder = TextEncoder()
+        self.text_encoder, init_text, self._apply_text = make_text_tower(
+            self.vocabulary, bpe_path, clip_config)
         self.detector = DeticDetector(dtype=jnp.bfloat16)
-        ids, mask = hash_tokenize(self.vocabulary)
         if params is None:
             key = jax.random.PRNGKey(seed)
-            tp = jax.jit(self.text_encoder.init)(key, jnp.asarray(ids), jnp.asarray(mask))
-            embeds = self.text_encoder.apply(tp, jnp.asarray(ids), jnp.asarray(mask))
+            tp = init_text(key)
+            embeds = self._apply_text(tp)
             dp = jax.jit(self.detector.init)(
                 key, jnp.zeros((1, 480, 640, 3)), embeds
             )
             params = {"text": tp, "detector": dp}
         self.params = params
-        self._ids, self._mask = jnp.asarray(ids), jnp.asarray(mask)
         self.confidence_threshold = confidence_threshold
 
         def pipeline(params, rgb):
-            embeds = self.text_encoder.apply(params["text"], self._ids, self._mask)
+            embeds = self._apply_text(params["text"])
             out = self.detector.apply(params["detector"], rgb[None], embeds)
             ok = out["valid"] & (out["scores"] > confidence_threshold)
             masks = paste_masks(out["masks"], out["boxes"], ok, 480, 640)
@@ -296,31 +326,31 @@ class GroundedSAMBaseModel:
 
     def __init__(self, params=None, dataset="OSD", seed=0,
                  text_prompt="A rigid object.", box_threshold=0.10,
-                 sam_img_size=512, max_boxes=16):
+                 sam_img_size=512, max_boxes=16, bpe_path=None,
+                 clip_config=None):
         from quber_tpu.models.sam_hq import SAMHQ, init_sam_variables
 
         self.text_prompt = text_prompt
         self.max_boxes = max_boxes
-        self.text_encoder = TextEncoder()
+        self.text_encoder, init_text, self._apply_text = make_text_tower(
+            [text_prompt], bpe_path, clip_config)
         self.grounder = DeticDetector(max_detections=max_boxes, dtype=jnp.bfloat16)
         self.sam = SAMHQ(img_size=sam_img_size, dtype=jnp.bfloat16)
-        ids, mask = hash_tokenize([text_prompt])
         if params is None:
             key = jax.random.PRNGKey(seed)
-            tp = jax.jit(self.text_encoder.init)(key, jnp.asarray(ids), jnp.asarray(mask))
-            embeds = self.text_encoder.apply(tp, jnp.asarray(ids), jnp.asarray(mask))
+            tp = init_text(key)
+            embeds = self._apply_text(tp)
             gp = jax.jit(self.grounder.init)(key, jnp.zeros((1, 480, 640, 3)), embeds)
             sp = init_sam_variables(self.sam, key)
             params = {"text": tp, "grounder": gp, "sam": sp}
         self.params = params
-        self._ids, self._mask = jnp.asarray(ids), jnp.asarray(mask)
         self.box_threshold = box_threshold
         s = sam_img_size
 
         from quber_tpu.models.sam_hq import SAMHQ as _S
 
         def pipeline(params, rgb, sam_rgb):
-            embeds = self.text_encoder.apply(params["text"], self._ids, self._mask)
+            embeds = self._apply_text(params["text"])
             out = self.grounder.apply(params["grounder"], rgb[None], embeds)
             ok = out["valid"] & (out["scores"] > box_threshold)
             # SAM box prompts are pixel coords in the (square) SAM frame
