@@ -66,6 +66,47 @@ def load_perturbed_panoptic_json(
     return out
 
 
+def load_perturbed_instance_json(json_file: str, image_root: str) -> list[dict]:
+    """COCO *instance*-format loader (register_uoais_sim_instance.py
+    load_perturbed_coco_json semantics, without the detectron2 catalog):
+    per-image records carry the instance `annotations` list (bbox XYWH,
+    contiguous category_id, segmentation, iscrowd) plus the per-image
+    `perturbed_segmentation` RLEs and error-map RLEs."""
+    with open(json_file) as f:
+        coco = json.load(f)
+    cat_ids = sorted(c["id"] for c in coco.get("categories", [])) or [1]
+    id_map = {v: i for i, v in enumerate(cat_ids)}
+    anns_by_image: dict = {}
+    for a in coco.get("annotations", []):
+        anns_by_image.setdefault(a["image_id"], []).append(a)
+    out = []
+    for img in coco["images"]:
+        record = {
+            "image_id": img["id"],
+            "file_name": os.path.join(image_root, img["file_name"]),
+            "height": img.get("height"),
+            "width": img.get("width"),
+            "annotations": [
+                {
+                    "bbox": a.get("bbox"),
+                    "category_id": id_map.get(a.get("category_id", cat_ids[0]), 0),
+                    "segmentation": a.get("segmentation"),
+                    "iscrowd": a.get("iscrowd", 0),
+                    "visible_mask": a.get("visible_mask"),
+                }
+                for a in anns_by_image.get(img["id"], [])
+            ],
+            "perturbed_segmentation": img.get("perturbed_segmentation", []),
+        }
+        if "depth_file_name" in img:
+            record["depth_file_name"] = os.path.join(image_root, img["depth_file_name"])
+        for key in EEE_KEYS:
+            if key in img:
+                record[key] = img[key]
+        out.append(record)
+    return out
+
+
 UOAIS_METADATA = {
     "thing_classes": ["object"],
     "thing_dataset_id_to_contiguous_id": {1: 0},
@@ -76,8 +117,13 @@ UOAIS_METADATA = {
 
 
 def register_standard_datasets(data_root: str = "datasets"):
-    """Register the reference dataset names against a data root
-    (register_uoais_sim_panoptic.py:30-61 layout)."""
+    """Register the reference dataset names against a data root.
+
+    Panoptic names incl. the `_augmented` and `_is` variants
+    (register_uoais_sim_panoptic.py:30-61) plus the COCO-instance-format
+    variants (register_uoais_sim_instance.py:30-48,305-325:
+    uoais_sim_{train,val}, armbench_{train,test}).
+    """
     specs = {
         "uoais_sim_train_panoptic": (
             "UOAIS-Sim/annotations/coco_anns_panoptic_uoais_sim_train_perturbed.json",
@@ -87,9 +133,29 @@ def register_standard_datasets(data_root: str = "datasets"):
             "UOAIS-Sim/annotations/coco_anns_panoptic_uoais_sim_val_perturbed.json",
             "UOAIS-Sim/val", "UOAIS-Sim/val/panoptic_annos",
         ),
+        # photometrically-augmented perturbation variants
+        # (register_uoais_sim_panoptic.py:39-50)
+        "uoais_sim_train_panoptic_augmented": (
+            "UOAIS-Sim/annotations/uoais_sim_train_panoptic_augmented_perturbed.json",
+            "UOAIS-Sim/train", "UOAIS-Sim/train/panoptic_annos",
+        ),
+        "uoais_sim_val_panoptic_augmented": (
+            "UOAIS-Sim/annotations/uoais_sim_val_panoptic_augmented_perturbed.json",
+            "UOAIS-Sim/val", "UOAIS-Sim/val/panoptic_annos",
+        ),
+        # perturbations replayed from a real instance-segmenter's outputs
+        # (register_uoais_sim_panoptic.py:51-54)
+        "uoais_sim_train_panoptic_is": (
+            "UOAIS-Sim/annotations/uoais_sim_train_panoptic_perturbed_is.json",
+            "UOAIS-Sim/train", "UOAIS-Sim/train/panoptic_annos",
+        ),
         "tod_v2_train_panoptic": (
             "TODv2/annotations/train_panoptic_perturbed.json",
             "TODv2/train", "TODv2/train/panoptic",
+        ),
+        "tod_v2_val_panoptic": (
+            "TODv2/annotations/val_panoptic_perturbed.json",
+            "TODv2/val", "TODv2/val/panoptic",
         ),
         "armbench_train_panoptic": (
             "armbench/mix-object-tote/train_panoptic_perturbed.json",
@@ -107,6 +173,33 @@ def register_standard_datasets(data_root: str = "datasets"):
             (lambda jf=json_file, ir=os.path.join(data_root, img_rel),
                     pr=os.path.join(data_root, pan_rel):
                 load_perturbed_panoptic_json(jf, ir, pr)),
+            UOAIS_METADATA,
+        )
+
+    instance_specs = {
+        "uoais_sim_train": (
+            "UOAIS-Sim/annotations/coco_anns_uoais_sim_train_perturbed.json",
+            "UOAIS-Sim/train",
+        ),
+        "uoais_sim_val": (
+            "UOAIS-Sim/annotations/coco_anns_uoais_sim_val_perturbed.json",
+            "UOAIS-Sim/val",
+        ),
+        "armbench_train": (
+            "armbench/mix-object-tote/train_panoptic_perturbed.json",
+            "armbench/mix-object-tote/images",
+        ),
+        "armbench_test": (
+            "armbench/mix-object-tote/test_object_only.json",
+            "armbench/mix-object-tote/images",
+        ),
+    }
+    for name, (json_rel, img_rel) in instance_specs.items():
+        json_file = os.path.join(data_root, json_rel)
+        register_dataset(
+            name,
+            (lambda jf=json_file, ir=os.path.join(data_root, img_rel):
+                load_perturbed_instance_json(jf, ir)),
             UOAIS_METADATA,
         )
 

@@ -152,3 +152,44 @@ def test_config_from_name_grid():
     # load_config falls through to the name decoder for nonexistent paths
     m, _ = load_config("mask-refiner-rgbd-add-l3-b2.yaml")
     assert m.fusion_strategy == "add" and m.num_backbone_fusion_layers == 3
+
+
+def test_instance_registrations_and_loader(tmp_path):
+    """COCO-instance-format variants (register_uoais_sim_instance.py) are
+    registered and the loader joins annotations + perturbed RLEs."""
+    import json
+
+    from quber_tpu.data.datasets import (
+        DATASET_REGISTRY,
+        load_perturbed_instance_json,
+        register_standard_datasets,
+    )
+
+    register_standard_datasets("datasets")
+    for name in ("uoais_sim_train", "uoais_sim_val", "armbench_train",
+                 "armbench_test", "uoais_sim_train_panoptic_augmented",
+                 "uoais_sim_val_panoptic_augmented",
+                 "uoais_sim_train_panoptic_is", "tod_v2_val_panoptic"):
+        assert name in DATASET_REGISTRY, name
+
+    coco = {
+        "categories": [{"id": 2, "name": "object"}],
+        "images": [{
+            "id": 1, "file_name": "a.png", "height": 8, "width": 8,
+            "perturbed_segmentation": [{"size": [8, 8], "counts": "08"}],
+            "tp_mask": {"size": [8, 8], "counts": "44"},
+        }],
+        "annotations": [
+            {"image_id": 1, "id": 10, "category_id": 2,
+             "bbox": [1, 1, 3, 3], "segmentation": [[1, 1, 4, 1, 4, 4]],
+             "iscrowd": 0},
+        ],
+    }
+    jf = tmp_path / "inst.json"
+    jf.write_text(json.dumps(coco))
+    recs = load_perturbed_instance_json(str(jf), str(tmp_path))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["annotations"][0]["category_id"] == 0  # remapped contiguous
+    assert r["annotations"][0]["bbox"] == [1, 1, 3, 3]
+    assert r["perturbed_segmentation"] and r["tp_mask"]["counts"] == "44"

@@ -16,7 +16,7 @@ import os
 import time
 
 
-def synthetic_records(n, h, w, seed=0):
+def synthetic_records(n, h, w, seed=0, depth_range=(2500, 15000)):
     """In-memory dataset records exercising the full mapper path.
 
     Objects are RENDERED into rgb/depth (distinct colors, nearer depth with
@@ -32,13 +32,17 @@ def synthetic_records(n, h, w, seed=0):
 
     rng = np.random.RandomState(seed)
     ys, xs = np.mgrid[:h, :w]
+    lo, hi = depth_range
+    span = hi - lo
     records = []
     for i in range(n):
         rgb = np.full((h, w, 3), rng.randint(30, 90, 3), np.uint8)
         rgb = np.clip(
             rgb.astype(np.int32) + rng.randint(-12, 13, (h, w, 3)), 0, 255
         ).astype(np.uint8)
-        depth = np.full((h, w), rng.uniform(9000, 12000), np.float32)
+        depth = np.full(
+            (h, w), rng.uniform(lo + 0.52 * span, lo + 0.76 * span), np.float32
+        )
         masks = []
         margin = max(8, min(h, w) // 8)
         r_max = max(10, min(h, w) // 8)
@@ -51,7 +55,9 @@ def synthetic_records(n, h, w, seed=0):
             rgb[m > 0] = np.clip(
                 color + rng.randint(-10, 11, (int(m.sum()), 3)), 0, 255
             )
-            depth[m > 0] = rng.uniform(3500, 7000) - k * 150
+            depth[m > 0] = (
+                rng.uniform(lo + 0.08 * span, lo + 0.36 * span) - k * 0.012 * span
+            )
         pert = perturb_masks(np.asarray(masks), rng, target_iou=(0.7, 0.95))
         records.append({
             "gt_masks": np.asarray(masks),
@@ -167,7 +173,9 @@ def main():
     os.makedirs(output_dir, exist_ok=True)
 
     if args.synthetic:
-        records = synthetic_records(args.synthetic_size, model_cfg.height, model_cfg.width)
+        records = synthetic_records(args.synthetic_size, model_cfg.height,
+                                    model_cfg.width,
+                                    depth_range=train_cfg.depth_range)
         mapper = SyntheticMapper(train_cfg, model_cfg)
     else:
         from quber_tpu.data.datasets import register_standard_datasets
