@@ -7,10 +7,16 @@ segmentation, merges, splits, deletions, and boundary jitter toward a target
 IoU in [0.8, 1.0]. This *is* the framework's domain-level fault injection
 (SURVEY §5): the refiner learns to undo exactly these corruptions.
 
-The reference seeds false positives from Felzenszwalb graph-segmentation
-proposals; that package isn't available here, so proposals are synthesized as
-randomly deformed ellipses — statistically similar spurious blobs without the
-external dependency.
+Two proposal sources for the spurious/segment-aligned corruptions:
+  * `perturb_masks_reference(gt_masks, rgb, ...)` — the reference's exact
+    flow, seeding FP and over-/under-segmentation from Felzenszwalb
+    graph-segmentation proposals of the RGB image
+    (quber_tpu.data.felzenszwalb, dependency-free re-implementation) with
+    the reference's per-image ratio sampling.
+  * `perturb_masks(masks, ...)` — image-free variant (deformed-ellipse FP
+    proposals) for callers without pixels (on-the-fly GT perturbation in
+    the synthetic mapper / PerturbedGT base model); passes through to the
+    reference flow when `rgb` is supplied.
 """
 
 from __future__ import annotations
@@ -107,11 +113,139 @@ def merge_masks(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return closed
 
 
+# reference per-image ratio ranges (perturbate_masks.py:24-30)
+REFERENCE_RATIO_RANGES = {
+    "fp": (0.0, 0.2),
+    "gs": (0.0, 0.3),
+    "merge": (0.0, 0.1),
+    "delete": (0.0, 0.1),
+    "split": (0.0, 0.1),
+}
+MIN_MASK_RATIO = 0.01
+
+
+def _split_by_random_line(mask, rng, min_area, tries=10):
+    """Axis-aligned random split (perturbate_masks.py:164-196)."""
+    h, w = mask.shape
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return None
+    y_min, y_max = ys.min(), ys.max()
+    x_min, x_max = xs.min(), xs.max()
+    for _ in range(tries):
+        m1 = mask.copy()
+        if rng.rand() < 0.5:
+            y1 = rng.randint(y_min, max(y_min + 1, y_max))
+            if rng.rand() < 0.5:
+                m1[y1:y_max + 1, :] = 0
+            else:
+                m1[y_min:y1, :] = 0
+        else:
+            x1 = rng.randint(x_min, max(x_min + 1, x_max))
+            if rng.rand() < 0.5:
+                m1[:, x1:x_max + 1] = 0
+            else:
+                m1[:, x_min:x1] = 0
+        m2 = np.where(m1 != 0, 0, mask)
+        if m1.sum() >= min_area and m2.sum() >= min_area:
+            return m1, m2
+    return None
+
+
+def perturb_masks_reference(
+    gt_masks: np.ndarray,
+    rgb: np.ndarray,
+    rng=None,
+    iou_target=(0.8, 1.0),
+    proposals: np.ndarray | None = None,
+) -> np.ndarray:
+    """The reference's exact perturbation flow (perturbate_masks.py:67-233).
+
+    gt_masks [N, H, W] {0,1}; rgb [H, W, 3] uint8 (proposal source; ignored
+    when `proposals` is given). Returns a perturbed uint8 stack.
+    """
+    import cv2
+
+    rng = rng or np.random.RandomState(0)
+    gt_masks = np.asarray(gt_masks, np.uint8)
+    if gt_masks.size == 0:
+        return gt_masks.reshape((0,) + rgb.shape[:2])
+    h, w = gt_masks.shape[1:]
+    min_area = h * w * MIN_MASK_RATIO
+
+    r = {k: rng.uniform(*v) for k, v in REFERENCE_RATIO_RANGES.items()}
+
+    if proposals is None:
+        from quber_tpu.data.felzenszwalb import felzenszwalb_proposals
+
+        proposals = felzenszwalb_proposals(rgb, scale=4, sigma=0.2, k=50,
+                                           min_size=50)
+
+    out = []
+    max_gt_area = max(int(m.sum()) for m in gt_masks)
+    # FP add: proposals disjoint from GT (perturbate_masks.py:103-118)
+    for gs in proposals:
+        if rng.rand() > r["fp"]:
+            continue
+        area = gs.sum()
+        if area < min_area or area > max_gt_area * 2.0:
+            continue
+        if max((mask_iou(g, gs) for g in gt_masks), default=0.0) < 0.3:
+            out.append(gs.astype(np.uint8))
+    # over-/under-segmentation: proposals overlapping GT (:121-133)
+    for gs in proposals:
+        if rng.rand() > r["gs"]:
+            continue
+        if gs.sum() < min_area:
+            continue
+        if max((mask_iou(g, gs) for g in gt_masks), default=0.0) > 0.3:
+            out.append(gs.astype(np.uint8))
+    # keep GT masks not yet represented (:136-144)
+    for g in gt_masks:
+        if max((mask_iou(g, p) for p in out), default=0.0) < 0.3:
+            out.append(g.copy())
+
+    # merge close pairs (dilation-10 adjacency, :147-161)
+    for i in range(len(out)):
+        if rng.rand() > r["merge"]:
+            continue
+        m1 = out[i]
+        if m1.sum() == 0:
+            continue
+        dil = cv2.dilate(m1, np.ones((10, 10), np.uint8))
+        for j in range(len(out)):
+            if i == j or out[j].sum() == 0:
+                continue
+            if int((dil & (out[j] > 0)).sum()) > 0:
+                out[i] = ((m1 > 0) | (out[j] > 0)).astype(np.uint8)
+                out[j] = np.zeros_like(out[j])
+    out = [m for m in out if m.sum() > 0]
+
+    # split by a random axis-aligned line (:164-196)
+    for i in range(len(out)):
+        if rng.rand() > r["split"]:
+            continue
+        pieces = _split_by_random_line(out[i], rng, min_area)
+        if pieces is not None:
+            out[i] = pieces[0]
+            out.append(pieces[1])
+
+    # delete (:200-205)
+    out = [m for m in out if rng.rand() > r["delete"]]
+
+    # boundary jitter to the IoU target (:208-210)
+    out = [modify_boundary(m, rng, iou_target) for m in out]
+    out = [m for m in out if m.sum() > 0]
+    return (np.asarray(out, np.uint8) if out
+            else np.zeros((0, h, w), np.uint8))
+
+
 def perturb_masks(
     masks: np.ndarray,
     rng=None,
     target_iou=(0.8, 1.0),
     ratios: dict | None = None,
+    rgb: np.ndarray | None = None,
 ) -> np.ndarray:
     """Apply the full corruption pipeline to a GT mask stack [N, H, W].
 
@@ -120,6 +254,9 @@ def perturb_masks(
     IoU target. Returns a (possibly different-length) uint8 stack.
     """
     rng = rng or np.random.RandomState(0)
+    if rgb is not None:
+        return perturb_masks_reference(np.asarray(masks), rgb, rng,
+                                       iou_target=target_iou)
     ratios = {**DEFAULT_RATIOS, **(ratios or {})}
     masks = [m.astype(np.uint8) for m in masks]
     if not masks:

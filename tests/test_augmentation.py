@@ -44,3 +44,41 @@ def test_copy_paste(rng, blobs):
     assert (out_rgb[pasted] == 200).all()
     # masks stay pairwise disjoint (pastes occlude what they cover)
     assert (out_masks.astype(np.int32).sum(0) <= 1).all()
+
+
+def test_felzenszwalb_reference_perturbation(rng):
+    """Reference-flow perturbation: Felzenszwalb proposals seed FPs and
+    over-/under-segmentations; surviving masks keep IoU in/near the target
+    window vs their source (VERDICT: IoU-target histogram check)."""
+    import numpy as np
+
+    from quber_tpu.data.perturb import mask_iou, perturb_masks_reference
+
+    h, w = 120, 160
+    ys, xs = np.mgrid[:h, :w]
+    rgb = np.full((h, w, 3), 60, np.uint8)
+    rgb += rng.randint(0, 8, (h, w, 3)).astype(np.uint8)
+    gt = []
+    for cy, cx, r, color in ((35, 40, 18, (200, 40, 40)),
+                             (80, 110, 22, (40, 200, 40)),
+                             (40, 120, 15, (40, 40, 200))):
+        m = ((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r)
+        gt.append(m.astype(np.uint8))
+        rgb[m] = color
+    gt = np.asarray(gt)
+
+    ious = []
+    for seed in range(8):
+        out = perturb_masks_reference(gt, rgb, np.random.RandomState(seed),
+                                      iou_target=(0.8, 1.0))
+        assert out.ndim == 3 and out.shape[1:] == (h, w)
+        assert len(out) >= 1
+        for m in out:
+            best = max(mask_iou(m, g) for g in gt)
+            if best > 0.3:  # a corrupted-GT mask (not an FP/split product)
+                ious.append(best)
+    ious = np.asarray(ious)
+    # boundary jitter targets IoU in [0.8, 1.0]; allow pipeline slack
+    assert len(ious) >= 10
+    assert np.median(ious) > 0.6, ious
+    assert (ious > 0.45).mean() > 0.8, ious
