@@ -53,3 +53,26 @@ def random_blobs(rng, n, h, w, min_r=8, max_r=40):
 @pytest.fixture
 def blobs():
     return random_blobs
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -m quick` runs the op-level/pure-function subset
+# (< ~1 min warm); the remaining model/train tests are marked slow (the
+# suite is compile-bound on XLA:CPU — see tests/.jax_cache note above).
+# ---------------------------------------------------------------------------
+
+_QUICK_FILES = {
+    "test_augmentation.py", "test_boxes.py", "test_clip_text.py",
+    "test_data.py", "test_device_metrics.py", "test_encoding.py",
+    "test_grouping.py", "test_metrics.py", "test_morphology.py",
+    "test_pallas_kernels.py", "test_preprocess.py", "test_zoom.py",
+    "test_tools_pipeline.py", "test_meanshift.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.fspath.basename
+        item.add_marker(
+            pytest.mark.quick if name in _QUICK_FILES else pytest.mark.slow
+        )
