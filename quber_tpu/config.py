@@ -210,6 +210,9 @@ def from_detectron2_yaml(path: str) -> tuple[MaskRefinerConfig, TrainConfig]:
         common_stride=g("MODEL.INS_EMBED_HEAD.COMMON_STRIDE", 4),
         norm=g("MODEL.INS_EMBED_HEAD.NORM", "GN"),
         use_depthwise_separable_conv=g("MODEL.SEM_SEG_HEAD.USE_DEPTHWISE_SEPARABLE_CONV", False),
+        # heads follow the same SEM_SEG_HEAD flag (model.py:637 wires it
+        # into the value used by the prediction heads at :515-561)
+        head_depthwise_separable=g("MODEL.SEM_SEG_HEAD.USE_DEPTHWISE_SEPARABLE_CONV", False),
         eee_mask_on=g("MODEL.INS_EMBED_HEAD.EEE_MASK_ON", True),
         eee_boundary_on=g("MODEL.INS_EMBED_HEAD.EEE_BOUNDARY_ON", True),
         error_type=g("MODEL.INS_EMBED_HEAD.ERROR_TYPE", "e2"),

@@ -161,12 +161,13 @@ class InsEmbedHead(nn.Module):
     )
     num_fusion_layers: int = 3
     fusion_target: Sequence[str] = ("feat", "pred")
+    head_depthwise_separable: bool = False
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _pred_head(self, name):
         return SinglePredictionHead(
-            self.head_channels, self.norm, self.use_depthwise_separable_conv,
+            self.head_channels, self.norm, self.head_depthwise_separable,
             self.train, self.dtype, name=f"{name}_head",
         )
 

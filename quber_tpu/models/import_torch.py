@@ -178,8 +178,16 @@ def import_mask_refiner(state_dict: dict, config=None) -> dict:
     if cfg.eee_boundary_on:
         head_names.append("eee_boundary")
     for name in head_names:
-        for j in (0, 1):
-            b.conv([head, f"{name}_head", f"conv{j}"], f"{head}.{name}_pred_head.head.{j}", norm)
+        if cfg.head_depthwise_separable:
+            # detectron2 DepthwiseSeparableConv2d: head.depthwise (5x5
+            # grouped) + head.pointwise (1x1), each with a fused norm
+            # (reference model.py:372-383)
+            for part in ("depthwise", "pointwise"):
+                b.conv([head, f"{name}_head", "dws", part],
+                       f"{head}.{name}_pred_head.head.{part}", norm)
+        else:
+            for j in (0, 1):
+                b.conv([head, f"{name}_head", f"conv{j}"], f"{head}.{name}_pred_head.head.{j}", norm)
         b._insert(b.params, [head, f"{name}_predictor"], {
             "kernel": conv_kernel(b.sd[f"{head}.{name}_predictor.predictor.weight"]),
             "bias": b.sd[f"{head}.{name}_predictor.predictor.bias"],
@@ -291,8 +299,13 @@ def export_mask_refiner(variables: dict, config=None) -> dict:
     if cfg.eee_boundary_on:
         head_names.append("eee_boundary")
     for name in head_names:
-        for j in (0, 1):
-            put_conv([head, f"{name}_head", f"conv{j}"], f"{head}.{name}_pred_head.head.{j}", hnorm)
+        if cfg.head_depthwise_separable:
+            for part in ("depthwise", "pointwise"):
+                put_conv([head, f"{name}_head", "dws", part],
+                         f"{head}.{name}_pred_head.head.{part}", hnorm)
+        else:
+            for j in (0, 1):
+                put_conv([head, f"{name}_head", f"conv{j}"], f"{head}.{name}_pred_head.head.{j}", hnorm)
         pred = get(params, [head, f"{name}_predictor"])
         sd[f"{head}.{name}_predictor.predictor.weight"] = conv_kernel_inv(np.asarray(pred["kernel"]))
         sd[f"{head}.{name}_predictor.predictor.bias"] = np.asarray(pred["bias"])

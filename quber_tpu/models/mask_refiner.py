@@ -50,7 +50,15 @@ class MaskRefinerConfig:
     head_channels: int = 32
     common_stride: int = 4
     norm: str = "GN"
+    # decoder AND prediction heads both follow
+    # MODEL.SEM_SEG_HEAD.USE_DEPTHWISE_SEPARABLE_CONV (default False):
+    # the head's from_config wires that flag (model.py:637) into
+    # self.use_depthwise_separable_conv used at :515-561. (The
+    # PANOPTIC_DEEPLAB.USE_DEPTHWISE_SEPARABLE_CONV=True read at
+    # model.py:98 is an unused meta-arch leftover.) The split here keeps
+    # the two independently settable.
     use_depthwise_separable_conv: bool = False
+    head_depthwise_separable: bool = False
     # error estimation
     eee_mask_on: bool = True
     eee_boundary_on: bool = True
@@ -165,6 +173,7 @@ class MaskRefiner(nn.Module):
             head_channels=cfg.head_channels,
             norm=cfg.norm,
             use_depthwise_separable_conv=cfg.use_depthwise_separable_conv,
+            head_depthwise_separable=cfg.head_depthwise_separable,
             eee_mask_on=cfg.eee_mask_on,
             eee_boundary_on=cfg.eee_boundary_on,
             error_type=cfg.error_type,
