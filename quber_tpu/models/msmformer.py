@@ -179,13 +179,17 @@ class MSMFormer(nn.Module):
         return {"mask_logits": mask_logits, "objectness": objectness.astype(jnp.float32)}
 
 
+@jax.custom_jvp
 def hungarian_match(cost: jnp.ndarray, valid_targets: jnp.ndarray) -> jnp.ndarray:
     """Min-cost assignment of queries to targets via a host callback.
 
     cost [Q, N]; valid_targets [N] bool. Returns match [N] int32: the query
     index assigned to each target (-1 for invalid targets). The matrices are
     tiny (Q, N <= ~50), so a host scipy call per step is negligible — the
-    same choice Mask2Former-family trainers make.
+    same choice Mask2Former-family trainers make. Under differentiation the
+    assignment is a constant (the Mask2Former criterion computes matching
+    under no_grad), declared via custom_jvp so grad flows through the
+    matched losses but not the matcher.
     """
     import numpy as np
 
@@ -206,6 +210,15 @@ def hungarian_match(cost: jnp.ndarray, valid_targets: jnp.ndarray) -> jnp.ndarra
         solve, jax.ShapeDtypeStruct((n,), jnp.int32), cost, valid_targets,
         vmap_method="sequential",
     )
+
+
+@hungarian_match.defjvp
+def _hungarian_match_jvp(primals, tangents):
+    import numpy as np
+
+    out = hungarian_match(*primals)
+    # integer outputs carry float0 tangents
+    return out, np.zeros(out.shape, jax.dtypes.float0)
 
 
 def msmformer_set_loss(

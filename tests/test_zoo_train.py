@@ -1,0 +1,122 @@
+"""Zoo training recipes: every zoo member's loss must decrease when
+overfitting one tiny synthetic batch (the reference trains each of these —
+UOAIS-Net via adet rcnn losses, UCN via metric learning, MSMFormer via the
+Mask2Former criterion, SAM-HQ via focal+dice fine-tuning)."""
+
+import numpy as np
+import optax
+
+import jax
+import jax.numpy as jnp
+
+
+def _fit(loss_fn, params, steps=6, lr=1e-3):
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    first = None
+    val = None
+
+    @jax.jit
+    def step(params, opt):
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, val
+
+    for _ in range(steps):
+        params, opt, val = step(params, opt)
+        if first is None:
+            first = float(val)
+    return first, float(val)
+
+
+def test_uoais_net_learns(rng):
+    from quber_tpu.models.uoais_net import UOAISNet, uoais_losses
+
+    m = UOAISNet(max_proposals=16, max_detections=4, norm="GN")
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    dep = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), rgb, dep)
+
+    gt_boxes = jnp.asarray([[8, 8, 30, 30], [35, 12, 60, 40], [0, 0, 0, 0]],
+                           jnp.float32)
+    gt_vis = np.zeros((3, 64, 64), np.float32)
+    gt_vis[0, 8:30, 8:30] = 1
+    gt_vis[1, 12:40, 35:60] = 1
+    gt_amo = gt_vis.copy()
+    gt_amo[0, 8:34, 8:34] = 1
+    gt_valid = jnp.asarray([True, True, False])
+    gt_vis, gt_amo = jnp.asarray(gt_vis), jnp.asarray(gt_amo)
+
+    def loss_fn(params):
+        out = m.apply(params, rgb, dep)
+        return sum(uoais_losses(out, gt_boxes, gt_vis, gt_amo, gt_valid).values())
+
+    first, last = _fit(loss_fn, v, steps=6, lr=3e-4)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_ucn_learns(rng):
+    from quber_tpu.models.ucn import UCNEmbeddingNet, prototype_metric_loss
+
+    m = UCNEmbeddingNet(embed_dim=8, train=False)
+    rgb = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), rgb, xyz)
+    labels = np.zeros((1, 32, 32), np.int32)
+    labels[0, :, 16:] = 1
+    labels[0, :12, :10] = 2
+    labels = jnp.asarray(labels)
+
+    def loss_fn(params):
+        emb = m.apply(params, rgb, xyz)
+        loss, _ = prototype_metric_loss(emb, labels, max_instances=4)
+        return loss
+
+    first, last = _fit(loss_fn, v, steps=6, lr=1e-3)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_msmformer_learns(rng):
+    from quber_tpu.models.msmformer import MSMFormer, msmformer_set_loss
+
+    m = MSMFormer(dim=32, num_queries=8, encoder_layers=1, decoder_layers=1)
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), rgb, xyz)
+
+    gt = np.zeros((1, 2, 16, 16), np.float32)  # mask-logit resolution H/4
+    gt[0, 0, 2:8, 2:8] = 1
+    gt[0, 1, 9:15, 9:15] = 1
+    gt = jnp.asarray(gt)
+    valid = jnp.asarray([[True, True]])
+
+    def loss_fn(params):
+        out = m.apply(params, rgb, xyz)
+        return sum(msmformer_set_loss(out, gt, valid).values())
+
+    first, last = _fit(loss_fn, v, steps=6, lr=1e-3)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_sam_hq_learns(rng):
+    from quber_tpu.models.sam_hq import SAMHQ, sam_hq_mask_loss
+
+    m = SAMHQ(img_size=64, embed_dim=32, depth=2, num_heads=2,
+              global_blocks=(1,), window_size=2)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    prompt = jnp.asarray(rng.rand(1, 16, 16, 1).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), img, prompt)
+    target = np.zeros((1, 16, 16), np.float32)
+    target[0, 4:12, 4:12] = 1
+    target = jnp.asarray(target)
+
+    def loss_fn(params):
+        masks, iou, _ = m.apply(params, img, prompt)
+        return sam_hq_mask_loss(masks[:, 0], target)
+
+    first, last = _fit(loss_fn, v, steps=6, lr=1e-3)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
