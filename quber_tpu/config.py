@@ -48,6 +48,11 @@ class TrainConfig:
     perlin_distortion: bool = True   # INPUT.PERLIN_DISTORTION_ON
     color_aug_ssd: bool = True       # INPUT.COLOR_AUG_SSD
     max_instances: int = 64
+    # ResizeShortestEdge grid (INPUT.MIN_SIZE_TRAIN / MAX_SIZE_TRAIN);
+    # multiple entries enable multi-scale training with bucketed shapes
+    min_size_train: tuple = (480,)
+    max_size_train: int = 640
+    size_divisibility: int = 32
 
 
 def _deep_update(base: dict, override: dict) -> dict:
@@ -248,5 +253,7 @@ def from_detectron2_yaml(path: str) -> tuple[MaskRefinerConfig, TrainConfig]:
         depth_range=tuple(g("INPUT.DEPTH_RANGE", [2500, 15000])),
         perlin_distortion=g("INPUT.PERLIN_DISTORTION_ON", True),
         color_aug_ssd=g("INPUT.COLOR_AUG_SSD", True),
+        min_size_train=tuple(np.atleast_1d(g("INPUT.MIN_SIZE_TRAIN", (480,))).tolist()),
+        max_size_train=g("INPUT.MAX_SIZE_TRAIN", 640),
     )
     return model, train

@@ -85,21 +85,67 @@ def numpy_center_offset(masks, h, w, sigma=10, normalize=False):
     return center, offset, centers
 
 
-class PerturbedPanopticMapper:
-    """dataset record -> training sample dict (fixed 480x640 NHWC)."""
+def resize_shortest_edge(h0: int, w0: int, short: int, max_size: int):
+    """detectron2 ResizeShortestEdge output size (the reference mapper's
+    train-time augmentation, perturbed_panoptic_dataset_mapper.py:84-92):
+    scale so the shorter side hits `short`, capped so the longer side stays
+    <= max_size."""
+    scale = short / min(h0, w0)
+    if max(h0, w0) * scale > max_size:
+        scale = max_size / max(h0, w0)
+    return int(h0 * scale + 0.5), int(w0 * scale + 0.5)
 
-    def __init__(self, train_cfg, model_cfg, is_train: bool = True, seed: int = 0):
+
+def bucket_shape(h: int, w: int, divisor: int = 32):
+    """Pad a resized shape up to the next divisor multiple: with a finite
+    MIN_SIZE_TRAIN grid this yields a FIXED set of padded shapes, so XLA
+    compiles one program per bucket instead of one per image (SURVEY §7
+    hard part 2)."""
+    pad = lambda v: ((v + divisor - 1) // divisor) * divisor
+    return pad(h), pad(w)
+
+
+class PerturbedPanopticMapper:
+    """dataset record -> training sample dict.
+
+    Fixed-shape by default (model height x width); with `multiscale=True`
+    (or when train_cfg.min_size_train has several entries) applies
+    ResizeShortestEdge with a per-sample sampled shorter side, then pads to
+    a size-divisible bucket; the padded margin gets zero loss weights, and
+    samples carry their bucket shape for shape-grouped batching.
+    """
+
+    def __init__(self, train_cfg, model_cfg, is_train: bool = True, seed: int = 0,
+                 multiscale: bool | None = None):
         self.tc = train_cfg
         self.mc = model_cfg
         self.is_train = is_train
         self.rng = np.random.RandomState(seed)
+        sizes = tuple(getattr(train_cfg, "min_size_train", ()) or ())
+        if multiscale is None:
+            multiscale = is_train and len(sizes) > 1
+        self.multiscale = multiscale
+        self.min_sizes = sizes or (model_cfg.height,)
+        self.max_size = getattr(train_cfg, "max_size_train", model_cfg.width)
+        self.divisor = getattr(train_cfg, "size_divisibility", 32)
+
+    def _target_shape(self, h0: int, w0: int):
+        """(resized_h, resized_w, padded_h, padded_w) for this sample."""
+        if not self.multiscale:
+            h, w = self.mc.height, self.mc.width
+            return h, w, h, w
+        short = int(self.min_sizes[self.rng.randint(len(self.min_sizes))])
+        rh, rw = resize_shortest_edge(h0, w0, short, self.max_size)
+        ph, pw = bucket_shape(rh, rw, self.divisor)
+        return rh, rw, ph, pw
 
     def __call__(self, record: dict) -> dict:
         import cv2
         import imageio.v2 as imageio
 
-        h, w = self.mc.height, self.mc.width
         rgb = cv2.imread(record["file_name"])
+        h0, w0 = rgb.shape[:2]
+        h, w, ph, pw = self._target_shape(h0, w0)
         rgb = cv2.resize(rgb, (w, h))
         if self.is_train and self.tc.color_aug_ssd:
             rgb = ssd_color_aug(rgb, self.rng)
@@ -169,7 +215,17 @@ class PerturbedPanopticMapper:
             maps["tp_mask"], maps["tn_mask"], maps["fp_mask"], maps["fn_mask"], et))
         sample["eee_boundary"] = np.asarray(assemble_eee_targets(
             maps["tp_boundary"], maps["tn_boundary"], maps["fp_boundary"], maps["fn_boundary"], et))
+        if (ph, pw) != (h, w):
+            sample = {k: _pad_to(v, ph, pw) for k, v in sample.items()}
         return sample
+
+
+def _pad_to(arr: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Zero-pad the leading two (spatial) axes up to (ph, pw). Loss-weight
+    arrays are zero in the margin, so padded pixels carry no gradient."""
+    pads = [(0, ph - arr.shape[0]), (0, pw - arr.shape[1])]
+    pads += [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pads)
 
 
 def batch_iterator(dataset_name_or_records, mapper, batch_size: int, shuffle=True, seed=0):
@@ -181,12 +237,18 @@ def batch_iterator(dataset_name_or_records, mapper, batch_size: int, shuffle=Tru
     )
     rng = np.random.RandomState(seed)
     order = np.arange(len(records))
+    # multi-scale mappers emit several padded bucket shapes; group pending
+    # samples by shape so each batch is stackable (and hits one compiled
+    # program per bucket)
+    pending: dict = {}
     while True:
         if shuffle:
             rng.shuffle(order)
-        batch = []
         for i in order:
-            batch.append(mapper(records[i]))
+            s = mapper(records[i])
+            key = s["image"].shape
+            batch = pending.setdefault(key, [])
+            batch.append(s)
             if len(batch) == batch_size:
-                yield {k: np.stack([s[k] for s in batch]) for k in batch[0]}
-                batch = []
+                yield {k: np.stack([x[k] for x in batch]) for k in batch[0]}
+                pending[key] = []

@@ -743,3 +743,107 @@ class MaskRefinerPredictor:
                 "pred_boxes": masks_to_boxes(masks),
             }
         return [out]
+
+
+class MultiScalePredictor:
+    """Arbitrary-resolution predict via ResizeShortestEdge + shape buckets.
+
+    The reference eval path runs detectron2's ResizeShortestEdge test-time
+    transform so one trained model serves datasets at several native
+    resolutions (perturbed_panoptic_dataset_mapper.py:84-92; armbench eval
+    at MIN_SIZE_TEST). Under XLA everything is compiled at static shapes, so
+    instead of one program per image size this wrapper scales the shorter
+    side to `short` (capped at `max_size`), pads up to a /`divisor` shape
+    bucket, and dispatches to a per-bucket cached MaskRefinerPredictor — all
+    buckets share one param tree, so the cost of a new bucket is one compile,
+    not a new model. Outputs are cropped and resized back to the input size.
+    """
+
+    def __init__(
+        self,
+        config: MaskRefinerConfig | None = None,
+        params=None,
+        short: int = 480,
+        max_size: int = 640,
+        divisor: int = 32,
+        **predictor_kwargs,
+    ):
+        self.base_cfg = config or MaskRefinerConfig()
+        self.short = short
+        self.max_size = max_size
+        self.divisor = divisor
+        self.kw = predictor_kwargs
+        self._cache: dict[tuple[int, int], MaskRefinerPredictor] = {}
+        self.params = params
+        if self.params is None:
+            proto = self._predictor_for(self.base_cfg.height, self.base_cfg.width)
+            self.params = proto.params
+
+    def _predictor_for(self, ph: int, pw: int) -> MaskRefinerPredictor:
+        key = (ph, pw)
+        if key not in self._cache:
+            import dataclasses
+
+            cfg = dataclasses.replace(self.base_cfg, height=ph, width=pw)
+            self._cache[key] = MaskRefinerPredictor(cfg, params=self.params, **self.kw)
+        return self._cache[key]
+
+    @property
+    def num_buckets(self) -> int:
+        return len(self._cache)
+
+    def predict(self, rgb_img, depth_img=None, perturbed_masks=None):
+        import cv2
+
+        from quber_tpu.data.mappers import bucket_shape, resize_shortest_edge
+
+        rgb_img = np.asarray(rgb_img)
+        h0, w0 = rgb_img.shape[:2]
+        rh, rw = resize_shortest_edge(h0, w0, self.short, self.max_size)
+        ph, pw = bucket_shape(rh, rw, self.divisor)
+        pred = self._predictor_for(ph, pw)
+
+        def to_bucket(img, interp):
+            img = np.asarray(img)
+            if img.shape[:2] != (rh, rw):
+                img = cv2.resize(img.astype(np.float32), (rw, rh), interpolation=interp)
+            pads = [(0, ph - rh), (0, pw - rw)] + [(0, 0)] * (img.ndim - 2)
+            return np.pad(img, pads)
+
+        rgb_b = to_bucket(rgb_img, cv2.INTER_LINEAR)
+        depth_b = (
+            to_bucket(depth_img, cv2.INTER_NEAREST)
+            if depth_img is not None
+            else np.zeros((ph, pw, 3), np.float32)
+        )
+        masks_b = [
+            to_bucket((np.asarray(m) > 0).astype(np.uint8), cv2.INTER_NEAREST) > 0.5
+            for m in ([] if perturbed_masks is None else perturbed_masks)
+        ]
+        out = pred.predict(rgb_b, depth_b, masks_b)[0]
+
+        def back(arr, interp, channels_first=False):
+            arr = np.asarray(arr, np.float32)
+            if channels_first:  # [C, H, W] (reference sem-seg layout)
+                arr = np.transpose(arr, (1, 2, 0))
+            arr = cv2.resize(arr[:rh, :rw], (w0, h0), interpolation=interp)
+            return np.transpose(arr, (2, 0, 1)) if channels_first else arr
+
+        pan = back(out["panoptic_seg"][0], cv2.INTER_NEAREST).astype(np.int32)
+        res = {"sem_seg": back(out["sem_seg"], cv2.INTER_LINEAR),
+               "panoptic_seg": (pan, None)}
+        for k in ("eee_mask", "eee_boundary"):
+            if k in out:
+                res[k] = back(out[k], cv2.INTER_LINEAR, channels_first=True)
+        if "instances" in out:
+            n = len(out["instances"]["scores"])
+            masks = pan[None] == np.arange(1, n + 1)[:, None, None]
+            keep = masks.any(axis=(1, 2))
+            masks = masks[keep]
+            res["instances"] = {
+                "pred_masks": masks,
+                "scores": out["instances"]["scores"][keep],
+                "pred_classes": np.zeros((len(masks),), np.int64),
+                "pred_boxes": masks_to_boxes(masks),
+            }
+        return [res]
