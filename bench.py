@@ -33,17 +33,27 @@ def main():
     # objects) at 2.6x less mask-transfer volume than the default 64
     predictor = MaskRefinerPredictor(cfg, max_instances=24)
 
-    # OCID-like synthetic scene: 8 instances on a 480x640 RGB-D frame
+    # OCID-like synthetic scene: 8 instances on a 480x640 RGB-D frame.
+    # RGB is full-entropy noise (worst case for the transport — real camera
+    # RGB is also incompressible). Depth is what a real sensor returns: a
+    # smooth table plane with smooth object surfaces, quantized to u8
+    # (eval/preprocess_utils.py:12-28 normalize_depth semantics), which the
+    # predictor's delta-coded input layout exploits.
     rng = np.random.RandomState(7)
     h, w = cfg.height, cfg.width
     ys, xs = np.mgrid[:h, :w]
     masks = []
+    depth_f = 120.0 + 80.0 * (ys / h)  # tilted table plane
     for _ in range(8):
         cy, cx = rng.randint(80, h - 80), rng.randint(80, w - 80)
         r = rng.randint(30, 60)
-        masks.append(((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r))
+        m = (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
+        masks.append(m)
+        # spherical object surface proud of the table
+        bump = np.sqrt(np.maximum(r * r - (ys - cy) ** 2 - (xs - cx) ** 2, 0.0))
+        depth_f = np.where(m, depth_f - 0.3 * bump, depth_f)
     rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-    depth = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    depth = np.clip(depth_f, 0, 255).astype(np.uint8)
 
     # warmup: compile the streaming pipeline + first (slow) D2H through the
     # transport. params are random (perf is weight-independent); sanity-check

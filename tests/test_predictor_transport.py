@@ -196,3 +196,43 @@ def test_aot_export_roundtrip(rng, tmp_path):
     got = jax.export.deserialize(blob).call(predictor.params, bufs)
     want = fn(predictor.params, bufs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_depth_delta_codec_and_bitplane_roundtrip(rng):
+    # depth travels delta-coded (sparse mod-256 nonzeros) and the raw
+    # panoptic map travels as bitplanes; both must round-trip exactly
+    import jax
+
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    ys = np.mgrid[:h, :w][0]
+    smooth = np.clip(60.0 + 120.0 * ys / h, 0, 255).astype(np.uint8)
+    smooth[20:40, 20:40] -= 17  # object silhouette
+    rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    masks = [np.zeros((h, w), bool)]
+    masks[0][10:30, 10:30] = True
+
+    for depth in (smooth, np.zeros((h, w), np.uint8),
+                  np.full((h, w), 255, np.uint8)):
+        buf = predictor._pack_inputs_rle(rgb, depth, masks)
+        assert buf is not None
+        image, dmasks, valid = jax.jit(predictor._unpack_buf_rle)(
+            jnp.asarray(buf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(image)[..., 3], depth.astype(np.float32)
+        )
+        np.testing.assert_array_equal(np.asarray(dmasks)[0], masks[0])
+
+    # noisy depth exceeds the sparse budget -> dense fallback signalled
+    noisy = (rng.rand(h, w) * 255).astype(np.uint8)
+    if np.count_nonzero(np.diff(noisy.reshape(-1).astype(np.int16))) > \
+            predictor.max_depth_nz:
+        assert predictor._pack_inputs_rle(rgb, noisy, masks) is None
+
+    # bitplane pan pack/unpack round trip at the id ceiling
+    pan = (rng.rand(h * w) * (predictor.max_instances + 2)).astype(np.int32)
+    packed = np.asarray(jax.jit(predictor._pack_pan_planes)(jnp.asarray(pan)))
+    assert packed.size == predictor._pan_bytes
+    np.testing.assert_array_equal(predictor._unpack_pan_planes(packed), pan)
