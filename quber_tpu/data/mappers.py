@@ -246,7 +246,8 @@ def batch_iterator(dataset_name_or_records, mapper, batch_size: int, shuffle=Tru
             rng.shuffle(order)
         for i in order:
             s = mapper(records[i])
-            key = s["image"].shape
+            # key on every array's shape (packed mappers have no "image")
+            key = tuple((k, np.shape(v)) for k, v in sorted(s.items()))
             batch = pending.setdefault(key, [])
             batch.append(s)
             if len(batch) == batch_size:

@@ -106,6 +106,19 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         from quber_tpu.models.msmformer import MSMFormerBaseModel
 
         return MSMFormerBaseModel(dataset=dataset, zoom_in=name.endswith("zoomin"))
+    if name == "msmformer-pretrained":
+        # imported reference checkpoint (tools/import_checkpoint.py --model
+        # msmformer); QUBER_MSMFORMER_CKPT points at the orbax dir
+        import os
+
+        from quber_tpu.models.msmformer_pretrained import (
+            PretrainedMSMFormerBaseModel,
+        )
+        from quber_tpu.train.checkpoint import restore_params
+
+        ckpt = os.environ.get("QUBER_MSMFORMER_CKPT", "output/msmformer/ckpt")
+        return PretrainedMSMFormerBaseModel(restore_params(ckpt),
+                                            dataset=dataset)
     if name == "uoisnet3d":
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 
@@ -134,6 +147,7 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         return GroundedSAMBaseModel(dataset=dataset)
     raise NotImplementedError(
         f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn, "
-        "msmformer, uoisnet3d, uoaisnet, uoaisnet-amodal, sam, detic, "
+        "msmformer, msmformer-pretrained, uoisnet3d, uoaisnet, "
+        "uoaisnet-amodal, sam, detic, "
         "grounded-sam"
     )

@@ -503,3 +503,80 @@ def import_clip_text(state_dict: dict, strict: bool = True) -> dict:
         if k.startswith("visual.") or k in ("logit_scale",):
             b.used.add(k)
     return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# MSMFormer (deployed "Pretrained" variant: norm_model_0069999.pth /
+# crop_dec9_model_final.pth, eval/base_model.py:963-1012; meta-arch
+# meanshiftformer/pretrained_meanshiftformer_model.py:51)
+# ---------------------------------------------------------------------------
+
+
+def _ms_mha(b, fpath, tkey):
+    """nn.MultiheadAttention packed in_proj + out_proj -> q/k/v/out Dense."""
+    w = b.take(f"{tkey}.in_proj_weight")
+    bias = b.take(f"{tkey}.in_proj_bias")
+    e = w.shape[0] // 3
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        b._insert(b.params, fpath + [name, "kernel"],
+                  linear_kernel(w[i * e:(i + 1) * e]))
+        b._insert(b.params, fpath + [name, "bias"], bias[i * e:(i + 1) * e])
+    b.linear(fpath + ["out_proj"], f"{tkey}.out_proj")
+
+
+def import_msmformer(state_dict: dict, strict: bool = True,
+                     dec_layers: int | None = None) -> dict:
+    """MSMFormer checkpoint -> models.msmformer_pretrained.PretrainedMSMFormer.
+
+    Maps `pretrained_backbone.*` (UCN dual Resnet34_8s, prefixes
+    auto-detected), `sem_seg_head.pixel_decoder.mask_features` and the
+    `sem_seg_head.predictor.*` mean-shift transformer decoder. Criterion
+    buffers (`criterion.empty_weight`) carry no network state.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    b = _ZooBuilder(sd)
+
+    bb = {k[len("pretrained_backbone."):]: v for k, v in sd.items()
+          if k.startswith("pretrained_backbone.")}
+    rgb_pfx, depth_pfx = detect_ucn_prefixes(bb)
+    for branch, pfx in (("rgb_branch", rgb_pfx), ("depth_branch", depth_pfx)):
+        _ucn_trunk(b, ["backbone", branch, "trunk"],
+                   f"pretrained_backbone.{pfx}")
+        b.conv(["backbone", branch, "fc"], f"pretrained_backbone.{pfx}fc")
+
+    b.conv(["mask_features"], "sem_seg_head.pixel_decoder.mask_features")
+
+    p = "sem_seg_head.predictor"
+    f = ["predictor"]
+    if dec_layers is None:
+        dec_layers = 1 + max(
+            int(k.split(".")[3]) for k in sd
+            if k.startswith(f"{p}.transformer_ffn_layers."))
+    for i in range(dec_layers):
+        _ms_mha(b, f + [f"cross_attn_{i}"],
+                f"{p}.transformer_cross_attention_layers.{i}.meanshift_attn")
+        b.layernorm(f + [f"cross_norm_{i}"],
+                    f"{p}.transformer_cross_attention_layers.{i}.norm")
+        _ms_mha(b, f + [f"self_attn_{i}"],
+                f"{p}.transformer_self_attention_layers.{i}.self_attn")
+        b.layernorm(f + [f"self_norm_{i}"],
+                    f"{p}.transformer_self_attention_layers.{i}.norm")
+        b.linear(f + [f"ffn_{i}", "linear1"],
+                 f"{p}.transformer_ffn_layers.{i}.linear1")
+        b.linear(f + [f"ffn_{i}", "linear2"],
+                 f"{p}.transformer_ffn_layers.{i}.linear2")
+        b.layernorm(f + [f"ffn_{i}", "norm"],
+                    f"{p}.transformer_ffn_layers.{i}.norm")
+    b.layernorm(f + ["decoder_norm"], f"{p}.decoder_norm")
+    b._insert(b.params, f + ["query_feat"], b.take(f"{p}.query_feat.weight"))
+    b._insert(b.params, f + ["query_embed"], b.take(f"{p}.query_embed.weight"))
+    b._insert(b.params, f + ["level_embed"], b.take(f"{p}.level_embed.weight"))
+    b.conv(f + ["input_proj_0"], f"{p}.input_proj.0")
+    b.linear(f + ["class_embed"], f"{p}.class_embed")
+    for i in range(3):
+        b.linear(f + ["mask_embed", f"layers_{i}"],
+                 f"{p}.mask_embed.layers.{i}")
+    for k in list(sd):
+        if k.startswith("criterion.") or k in ("pixel_mean", "pixel_std"):
+            b.used.add(k)
+    return _result(b, strict)

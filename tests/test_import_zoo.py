@@ -408,3 +408,194 @@ def test_cascadepsp_import_matches_reference_torch(rng):
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+# ---------------------------------------------------------------------------
+# MSMFormer (deployed "Pretrained" variant)
+# ---------------------------------------------------------------------------
+
+
+def _torch_pos_sine(h, w, num_pos_feats):
+    """PositionEmbeddingSine(normalize=True) re-derivation
+    (meanshiftformer/modeling/transformer_decoder/position_encoding.py:29-52),
+    returning [HW, 2F] (y-channels then x-channels)."""
+    import math
+
+    eps = 1e-6
+    y = torch.arange(1, h + 1, dtype=torch.float32)
+    x = torch.arange(1, w + 1, dtype=torch.float32)
+    y = y / (y[-1] + eps) * 2 * math.pi
+    x = x / (x[-1] + eps) * 2 * math.pi
+    dim_t = torch.arange(num_pos_feats, dtype=torch.float32)
+    dim_t = 10000.0 ** (2 * torch.div(dim_t, 2, rounding_mode="floor")
+                        / num_pos_feats)
+
+    def inter(v):
+        ang = v[:, None] / dim_t
+        return torch.stack((ang[:, 0::2].sin(), ang[:, 1::2].cos()),
+                           dim=2).flatten(1)
+
+    py, px = inter(y), inter(x)  # [H,F],[W,F]
+    grid = torch.cat(
+        [py[:, None, :].expand(h, w, num_pos_feats),
+         px[None, :, :].expand(h, w, num_pos_feats)], dim=-1)
+    return grid.reshape(h * w, 2 * num_pos_feats)
+
+
+def _torch_ms_attn(mha, q, k, v, mask=None, kappa=30.0):
+    """hypersphere attention re-derivation (attention_util.py:30-86,
+    330-430) on batch-first [B,L,E] tensors; mask additive [B,1,L,S]."""
+    import torch.nn.functional as tF
+
+    W, bias = mha.in_proj_weight, mha.in_proj_bias
+    e = W.shape[0] // 3
+    h = mha.num_heads
+    hd = e // h
+
+    def proj(x, i):
+        return tF.linear(x, W[i * e:(i + 1) * e], bias[i * e:(i + 1) * e])
+
+    def split(t):
+        b, l, _ = t.shape
+        return t.reshape(b, l, h, hd).permute(0, 2, 1, 3)
+
+    qp, kp, vp = split(proj(q, 0)), split(proj(k, 1)), split(proj(v, 2))
+    qp = tF.normalize(qp, dim=-1)
+    kp = tF.normalize(kp, dim=-1)
+    logits = kappa * (qp @ kp.transpose(-2, -1))
+    if mask is not None:
+        logits = logits + mask
+    attn = logits.softmax(-1)
+    out = tF.normalize(attn @ vp, dim=-1)
+    b, _, l, _ = out.shape
+    out = out.permute(0, 2, 1, 3).reshape(b, l, e)
+    return tF.linear(out, mha.out_proj.weight, mha.out_proj.bias)
+
+
+def test_msmformer_import_matches_torch_rederivation(rng):
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    torch.manual_seed(0)
+    E, DIM, HEADS, FFN, Q, L, C, MD = 16, 32, 4, 48, 8, 2, 2, 24
+
+    class RefMSM(tnn.Module):
+        """State-dict-exact container for the PretrainedMeanShiftMaskFormer
+        key layout (pretrained_meanshiftformer_model.py:51;
+        meanshiftformer_transformer_decoder.py:698-861)."""
+
+        def __init__(self):
+            super().__init__()
+            bb = tnn.Module()
+            bb.rgb_fcn = _torch_resnet34_8s(E)
+            bb.depth_fcn = _torch_resnet34_8s(E)
+            self.pretrained_backbone = bb
+            sem = tnn.Module()
+            pd = tnn.Module()
+            pd.mask_features = tnn.Conv2d(E, MD, 3, padding=1)
+            pred = tnn.Module()
+            for kind, attr in (("cross", "meanshift_attn"),
+                               ("self", "self_attn")):
+                layers = tnn.ModuleList()
+                for _ in range(L):
+                    m = tnn.Module()
+                    setattr(m, attr, tnn.MultiheadAttention(DIM, HEADS))
+                    m.norm = tnn.LayerNorm(DIM)
+                    layers.append(m)
+                setattr(pred, f"transformer_{kind}_attention_layers", layers)
+            ffns = tnn.ModuleList()
+            for _ in range(L):
+                m = tnn.Module()
+                m.linear1 = tnn.Linear(DIM, FFN)
+                m.linear2 = tnn.Linear(FFN, DIM)
+                m.norm = tnn.LayerNorm(DIM)
+                ffns.append(m)
+            pred.transformer_ffn_layers = ffns
+            pred.decoder_norm = tnn.LayerNorm(DIM)
+            pred.query_feat = tnn.Embedding(Q, DIM)
+            pred.query_embed = tnn.Embedding(Q, DIM)
+            pred.level_embed = tnn.Embedding(1, DIM)
+            pred.input_proj = tnn.ModuleList([tnn.Conv2d(E, DIM, 1)])
+            pred.class_embed = tnn.Linear(DIM, C + 1)
+            me = tnn.Module()
+            me.layers = tnn.ModuleList(
+                [tnn.Linear(DIM, DIM), tnn.Linear(DIM, DIM),
+                 tnn.Linear(DIM, MD)])
+            pred.mask_embed = me
+            sem.pixel_decoder = pd
+            sem.predictor = pred
+            self.sem_seg_head = sem
+
+        def forward(self, rgb, xyz):
+            bb = self.pretrained_backbone
+            emb = bb.rgb_fcn(rgb) + bb.depth_fcn(xyz)
+            emb = tF.interpolate(emb, scale_factor=8, mode="bilinear",
+                                 align_corners=False)
+            emb = tF.normalize(emb, dim=1)  # backbone + meta-arch norm
+            pd = self.sem_seg_head.pixel_decoder
+            pred = self.sem_seg_head.predictor
+            mask_features = pd.mask_features(emb)  # [B,MD,H,W]
+            b, _, h, w = emb.shape
+            pos = _torch_pos_sine(h, w, DIM // 2)[None]  # [1,HW,DIM]
+            src = pred.input_proj[0](emb).flatten(2).transpose(1, 2)
+            src = src + pred.level_embed.weight[0]
+            out = pred.query_feat.weight[None].expand(b, Q, DIM)
+            qpos = pred.query_embed.weight[None]
+
+            def heads(out):
+                dec = pred.decoder_norm(out)
+                logits = pred.class_embed(dec)
+                x = dec
+                for i, lin in enumerate(pred.mask_embed.layers):
+                    x = lin(x) if i == 2 else tF.relu(lin(x))
+                masks = torch.einsum("bqc,bchw->bqhw", x, mask_features)
+                am = tF.interpolate(masks, size=(h, w), mode="bilinear",
+                                    align_corners=False)
+                blocked = am.sigmoid().flatten(2) < 0.5  # [B,Q,HW]
+                allb = blocked.all(-1, keepdim=True)
+                blocked = blocked & ~allb
+                fmask = torch.zeros_like(blocked, dtype=torch.float32)
+                fmask[blocked] = float("-inf")
+                return logits, masks, fmask[:, None]  # [B,1,Q,HW]
+
+            logits, masks, am = heads(out)
+            for i in range(L):
+                t2 = _torch_ms_attn(
+                    pred.transformer_cross_attention_layers[i].meanshift_attn,
+                    out + qpos, src + pos, src, mask=am)
+                out = pred.transformer_cross_attention_layers[i].norm(out + t2)
+                t2 = _torch_ms_attn(
+                    pred.transformer_self_attention_layers[i].self_attn,
+                    out + qpos, out + qpos, out)
+                out = pred.transformer_self_attention_layers[i].norm(out + t2)
+                f = pred.transformer_ffn_layers[i]
+                t2 = f.linear2(tF.relu(f.linear1(out)))
+                out = f.norm(out + t2)
+                out = tF.normalize(out, dim=-1)
+                logits, masks, am = heads(out)
+            return logits, masks
+
+    ref = RefMSM().eval()
+    _randomize_bn_stats(ref)
+
+    from quber_tpu.models.msmformer_pretrained import PretrainedMSMFormer
+
+    variables = IZ.import_msmformer(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    model = PretrainedMSMFormer(
+        embed_dim=E, hidden_dim=DIM, num_queries=Q, nheads=HEADS,
+        dim_feedforward=FFN, dec_layers=L, num_classes=C, mask_dim=MD)
+
+    rgb = rng.rand(1, 32, 32, 3).astype(np.float32)
+    xyz = rng.rand(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want_logits, want_masks = ref(
+            torch.from_numpy(np.transpose(rgb, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(xyz, (0, 3, 1, 2))))
+    got = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(rgb), jnp.asarray(xyz))
+    np.testing.assert_allclose(np.asarray(got["pred_logits"]),
+                               want_logits.numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["pred_masks"]),
+                               want_masks.numpy(), atol=2e-3)

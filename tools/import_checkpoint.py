@@ -27,7 +27,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODELS = ("mask_refiner", "cgnet", "lmffnet", "ucn", "cascadepsp", "sam_hq")
+MODELS = ("mask_refiner", "cgnet", "lmffnet", "ucn", "cascadepsp", "sam_hq",
+          "msmformer")
 
 
 def import_variables(model: str, sd: dict, model_cfg=None) -> dict:
@@ -48,6 +49,10 @@ def import_variables(model: str, sd: dict, model_cfg=None) -> dict:
         return IZ.import_cascadepsp(sd)
     if model == "sam_hq":
         return IZ.import_sam_hq(sd)
+    if model == "msmformer":
+        # deployed PretrainedMeanShiftMaskFormer (norm_model_0069999.pth /
+        # crop_dec9_model_final.pth, eval/base_model.py:963-1012)
+        return IZ.import_msmformer(sd)
     raise ValueError(f"unknown model {model!r}; choose from {MODELS}")
 
 
