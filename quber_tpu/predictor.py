@@ -879,7 +879,9 @@ class MaskRefinerPredictor:
         holding 'sem_seg', 'eee_mask', 'eee_boundary', 'panoptic_seg' and an
         'instances' dict with pred_masks/scores/pred_classes/pred_boxes
         (predictor.py:287-359 / model.py:259-358)."""
-        raw = self.predict_raw(rgb_img, depth_img, perturbed_masks or [])
+        if perturbed_masks is None:
+            perturbed_masks = []
+        raw = self.predict_raw(rgb_img, depth_img, perturbed_masks)
         pan = np.asarray(raw["panoptic_seg"])
         n = int(raw["num_instances"])
         out = {

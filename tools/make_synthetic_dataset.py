@@ -1,26 +1,28 @@
-"""Render a synthetic tabletop eval dataset in the OSD directory layout.
+"""Render a synthetic tabletop dataset to disk in the OSD directory layout.
 
-The reference benchmarks on OSD (image_color/ + disparity/ + annotation/
-PNG triples, eval/eval_utils.py:107-118); no benchmark data ships with
-this environment, so this tool materializes the train_net synthetic-scene
-renderer to disk in that exact layout. run_eval.py then drives the REAL
-harness end-to-end (walkers, per-image loop, Hungarian metrics, timing
-artifacts) against it:
+OSD-0.2-depth layout (eval_utils.py:117-124 / quber_tpu.evaluation.datasets
+build_file_lists): root/image_color/*.png, root/disparity/*.png (16-bit mm
+depth), root/annotation/*.png (instance label image, 0 = background).
 
-    python tools/make_synthetic_dataset.py --out datasets/synthetic_osd \
-        --n 200 --seed 9000 --depth-range 250 1500
-    python run_eval.py --base-model perturbed-gt \
-        --refiner-model maskrefiner-nofilter --test-dataset OSD \
-        --dataset-path datasets/synthetic_osd --weights-file <ckpt>
+This gives the evaluation harness (run_eval.py) a real on-disk dataset with
+ground truth so the full train -> eval metric loop can run self-contained:
 
-Depth is written as 16-bit mm PNGs; pick --depth-range to match the eval
-path's normalize_depth window (250..1500 mm, preprocess_utils.py:12-28)
-and train with the same INPUT.DEPTH_RANGE for consistent normalization.
+    python tools/make_synthetic_dataset.py --out datasets/synth_osd \
+        --n 200 --seed 1000 --depth-range 250 1500
+    python train_net.py --synthetic --depth-range 250 1500 ...
+    python run_eval.py --base-model perturbed-gt --refiner-model maskrefiner \
+        --test-dataset OSD --dataset-path datasets/synth_osd --weights-file ...
+
+Depth is written as 16-bit PNG in integer mm, which normalize_depth's OSD
+defaults (min 250 / max 1500, preprocess_utils.py:12-28) map onto the full
+0..255 range when rendered with --depth-range 250 1500.
 """
 
 import argparse
 import os
 import sys
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,38 +31,41 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", required=True)
     parser.add_argument("--n", type=int, default=200)
-    parser.add_argument("--seed", type=int, default=9000)
+    parser.add_argument("--seed", type=int, default=1000)
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--depth-range", type=float, nargs=2,
                         default=(250.0, 1500.0))
+    parser.add_argument("--dropout-frac", type=float, default=0.002,
+                        help="fraction of zero-depth sensor-dropout pixels "
+                             "(exercises the inpaint path)")
     args = parser.parse_args()
 
-    import cv2
-    import numpy as np
+    import imageio.v2 as imageio
 
-    from train_net import synthetic_records
+    from quber_tpu.data.synthetic import render_scene
 
     for sub in ("image_color", "disparity", "annotation"):
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)
 
-    records = synthetic_records(args.n, args.height, args.width,
-                                seed=args.seed,
-                                depth_range=tuple(args.depth_range))
-    for i, rec in enumerate(records):
-        name = f"scene_{i:04d}.png"
-        # cv2.imwrite/imread round-trip preserves the raw channel order the
-        # training mapper sees
-        cv2.imwrite(os.path.join(args.out, "image_color", name), rec["rgb"])
-        depth16 = np.clip(rec["depth_mm"], 0, 65535).astype(np.uint16)
-        cv2.imwrite(os.path.join(args.out, "disparity", name), depth16)
-        anno = np.zeros(rec["gt_masks"].shape[1:], np.uint8)
-        for k, m in enumerate(rec["gt_masks"]):
-            anno[m > 0] = k + 1  # later (nearer) objects overwrite
-        cv2.imwrite(os.path.join(args.out, "annotation", name), anno)
-    print(f"wrote {args.n} scenes -> {args.out}")
-    return 0
+    rng = np.random.RandomState(args.seed)
+    for i in range(args.n):
+        rgb, depth_mm, masks = render_scene(
+            rng, args.height, args.width, depth_range=args.depth_range,
+            dropout_frac=args.dropout_frac,
+        )
+        label = np.zeros(rgb.shape[:2], np.uint8)
+        for k, m in enumerate(masks, start=1):
+            label[m > 0] = k
+        name = f"synth_{i:05d}.png"
+        imageio.imwrite(os.path.join(args.out, "image_color", name), rgb)
+        imageio.imwrite(
+            os.path.join(args.out, "disparity", name),
+            np.round(depth_mm).astype(np.uint16),
+        )
+        imageio.imwrite(os.path.join(args.out, "annotation", name), label)
+    print(f"wrote {args.n} scenes to {args.out}")
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -19,54 +19,16 @@ import time
 def synthetic_records(n, h, w, seed=0, depth_range=(2500, 15000)):
     """In-memory dataset records exercising the full mapper path.
 
-    Objects are RENDERED into rgb/depth (distinct colors, nearer depth with
-    a per-object step) so that refinement is actually learnable from the
-    image — training on these scenes demonstrably improves boundary/overlap
-    F over the perturbed initial masks (see tests/test_train.py's
-    learns-to-refine check and tools/selfcheck_train.py).
+    Scenes are RENDERED (occlusion-aware superellipse objects over a tilted
+    table plane, quber_tpu/data/synthetic.py) so that refinement is actually
+    learnable from the image — training on these scenes demonstrably improves
+    boundary/overlap F over the perturbed initial masks (see
+    tests/test_train.py's learns-to-refine check and the committed
+    EVAL_SYNTH table).
     """
-    import numpy as np
+    from quber_tpu.data.synthetic import synthetic_records as _gen
 
-    from quber_tpu.data import rle
-    from quber_tpu.data.perturb import perturb_masks
-
-    rng = np.random.RandomState(seed)
-    ys, xs = np.mgrid[:h, :w]
-    lo, hi = depth_range
-    span = hi - lo
-    records = []
-    for i in range(n):
-        rgb = np.full((h, w, 3), rng.randint(30, 90, 3), np.uint8)
-        rgb = np.clip(
-            rgb.astype(np.int32) + rng.randint(-12, 13, (h, w, 3)), 0, 255
-        ).astype(np.uint8)
-        depth = np.full(
-            (h, w), rng.uniform(lo + 0.52 * span, lo + 0.76 * span), np.float32
-        )
-        masks = []
-        margin = max(8, min(h, w) // 8)
-        r_max = max(10, min(h, w) // 8)
-        for k in range(rng.randint(2, 6)):
-            cy, cx = rng.randint(margin, h - margin), rng.randint(margin, w - margin)
-            r = rng.randint(r_max // 2, r_max)
-            m = ((ys - cy) ** 2 + (xs - cx) ** 2 <= r * r).astype(np.uint8)
-            masks.append(m)
-            color = rng.randint(110, 255, 3)
-            rgb[m > 0] = np.clip(
-                color + rng.randint(-10, 11, (int(m.sum()), 3)), 0, 255
-            )
-            depth[m > 0] = (
-                rng.uniform(lo + 0.08 * span, lo + 0.36 * span) - k * 0.012 * span
-            )
-        pert = perturb_masks(np.asarray(masks), rng, target_iou=(0.7, 0.95))
-        records.append({
-            "gt_masks": np.asarray(masks),
-            "perturbed_segmentation": [rle.encode(m) for m in pert],
-            "height": h, "width": w,
-            "rgb": rgb,
-            "depth_mm": depth,
-        })
-    return records
+    return _gen(n, h, w, seed=seed, depth_range=depth_range)
 
 
 class SyntheticMapper:
@@ -128,6 +90,10 @@ def main():
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated data (smoke/e2e test)")
     parser.add_argument("--synthetic-size", type=int, default=32)
+    parser.add_argument("--depth-range", type=float, nargs=2, default=None,
+                        help="override INPUT.DEPTH_RANGE (mm); use 250 1500 "
+                             "to match the eval harness's OSD depth "
+                             "normalization (preprocess_utils.py:12-28)")
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--eval-dataset", default=None,
@@ -167,6 +133,10 @@ def main():
         )
     if args.max_iter:
         train_cfg = dataclasses.replace(train_cfg, max_iter=args.max_iter)
+    if args.depth_range:
+        train_cfg = dataclasses.replace(
+            train_cfg, depth_range=tuple(args.depth_range)
+        )
     output_dir = args.output_dir or os.path.join(
         "output", os.path.splitext(os.path.basename(args.config_file))[0]
     )
