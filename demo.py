@@ -45,9 +45,9 @@ def main():
     model_cfg, _ = load_config(args.config_file)
     params = None
     if args.weights:
-        from quber_tpu.train.checkpoint import restore_params
+        from quber_tpu.train.checkpoint import load_eval_params
 
-        params = restore_params(args.weights)
+        params = load_eval_params(args.weights)
     predictor = MaskRefinerPredictor(model_cfg, params)
     base = build_base_model(args.base_model, "OSD")
     os.makedirs(args.output, exist_ok=True)

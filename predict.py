@@ -29,9 +29,9 @@ def main():
     model_cfg, _ = load_config(args.config_file)
     params = None
     if args.weights:
-        from quber_tpu.train.checkpoint import restore_params
+        from quber_tpu.train.checkpoint import load_eval_params
 
-        params = restore_params(args.weights)
+        params = load_eval_params(args.weights)
     predictor = MaskRefinerPredictor(model_cfg, params)
 
     h, w = model_cfg.height, model_cfg.width

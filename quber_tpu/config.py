@@ -47,6 +47,7 @@ class TrainConfig:
     depth_range: tuple = (2500, 15000)  # INPUT.DEPTH_RANGE (mm)
     perlin_distortion: bool = True   # INPUT.PERLIN_DISTORTION_ON
     color_aug_ssd: bool = True       # INPUT.COLOR_AUG_SSD
+    copy_paste_prob: float = 0.0     # tools/ours copy-paste aug (opt-in)
     max_instances: int = 64
     # ResizeShortestEdge grid (INPUT.MIN_SIZE_TRAIN / MAX_SIZE_TRAIN);
     # multiple entries enable multi-scale training with bucketed shapes

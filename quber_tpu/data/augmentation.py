@@ -57,16 +57,22 @@ def random_rotation(images: list, rng, max_deg=15.0, nearest: list | None = None
 def copy_paste(
     rgb: np.ndarray, depth: np.ndarray, masks: np.ndarray,
     donor_rgb: np.ndarray, donor_depth: np.ndarray, donor_masks: np.ndarray,
-    rng, max_paste: int = 3,
+    rng, max_paste: int = 3, paired_masks=None, donor_paired=None,
 ):
     """Copy-paste augmentation (tools/ours copy-paste flavor): paste up to
     `max_paste` donor instances at random offsets; occluded pixels of
-    existing masks are cleared."""
-    import cv2
+    existing masks are cleared.
 
+    paired_masks/donor_paired: an optional second mask stack kept aligned
+    with the scene (the training mapper's *perturbed* initial masks): each
+    pasted donor instance also pastes the donor's paired pixels inside its
+    region as a new paired mask, and occludes the existing paired masks —
+    so perturbed-input / error-map targets can be regenerated coherently
+    after pasting. Returns (rgb, depth, masks[, paired])."""
     rgb = rgb.copy()
     depth = depth.copy()
     masks = [m.copy() for m in masks]
+    paired = None if paired_masks is None else [p.copy() for p in paired_masks]
     h, w = rgb.shape[:2]
     n = min(max_paste, len(donor_masks))
     order = rng.permutation(len(donor_masks))[:n]
@@ -84,5 +90,21 @@ def copy_paste(
         for mm in masks:
             mm[shifted] = 0
         masks.append(shifted.astype(np.uint8))
+        if paired is not None:
+            for pp in paired:
+                pp[shifted] = 0
+            newp = np.zeros_like(m)
+            for dp in (donor_paired if donor_paired is not None else ()):
+                sel = dp.astype(bool) & m
+                if sel.any():
+                    sy, sx = np.nonzero(sel)
+                    newp[sy + dy, sx + dx] = True
+            if newp.any():
+                paired.append(newp.astype(np.uint8))
     masks = [m for m in masks if m.sum() > 16]
-    return rgb, depth, (np.asarray(masks) if masks else np.zeros((0, h, w), np.uint8))
+    masks = np.asarray(masks) if masks else np.zeros((0, h, w), np.uint8)
+    if paired is None:
+        return rgb, depth, masks
+    paired = [p for p in paired if p.sum() > 16]
+    paired = np.asarray(paired) if paired else np.zeros((0, h, w), np.uint8)
+    return rgb, depth, masks, paired

@@ -128,6 +128,7 @@ class PerturbedPanopticMapper:
         self.min_sizes = sizes or (model_cfg.height,)
         self.max_size = getattr(train_cfg, "max_size_train", model_cfg.width)
         self.divisor = getattr(train_cfg, "size_divisibility", 32)
+        self._donor = None  # previous sample, reservoir for copy-paste aug
 
     def _target_shape(self, h0: int, w0: int):
         """(resized_h, resized_w, padded_h, padded_w) for this sample."""
@@ -168,7 +169,32 @@ class PerturbedPanopticMapper:
         gt_masks = [
             (panoptic == seg["id"]).astype(np.uint8) for seg in record["segments_info"]
         ]
-        sem_seg = (np.sum(gt_masks, axis=0) > 0).astype(np.float32) if gt_masks else np.zeros((h, w), np.float32)
+
+        # perturbed initial masks, decoded early: copy-paste edits BOTH the
+        # gt and the perturbed stacks so encoding/error targets stay coherent
+        pert = [
+            cv2.resize(rle.decode(r), (w, h), interpolation=cv2.INTER_NEAREST)
+            for r in record.get("perturbed_segmentation", [])
+        ]
+        use_stored_eee = all(k in record for k in EEE_KEYS)
+        cp_prob = getattr(self.tc, "copy_paste_prob", 0.0)
+        if self.is_train and cp_prob > 0:
+            donor = self._donor
+            if (donor is not None and donor[0].shape[:2] == (h, w)
+                    and self.rng.rand() < cp_prob):
+                from quber_tpu.data.augmentation import copy_paste
+
+                rgb, depth, gt_masks, pert = copy_paste(
+                    rgb, depth, gt_masks, donor[0], donor[1], donor[2],
+                    self.rng, paired_masks=pert, donor_paired=donor[3])
+                use_stored_eee = False  # masks changed; re-derive error maps
+            self._donor = (
+                rgb.copy(), depth.copy(),
+                np.asarray(list(gt_masks), np.uint8),
+                np.asarray(list(pert), np.uint8),
+            )
+
+        sem_seg = (np.sum(gt_masks, axis=0) > 0).astype(np.float32) if len(gt_masks) else np.zeros((h, w), np.float32)
         center, offset, _ = numpy_center_offset(gt_masks, h, w, self.tc.gaussian_sigma)
 
         sem_weights = np.ones((h, w), np.float32)
@@ -178,10 +204,6 @@ class PerturbedPanopticMapper:
         loss_region = sem_seg
 
         # perturbed initial masks -> offset encoding input
-        pert = [
-            cv2.resize(rle.decode(r), (w, h), interpolation=cv2.INTER_NEAREST)
-            for r in record.get("perturbed_segmentation", [])
-        ]
         p_center, p_offset, _ = numpy_center_offset(pert, h, w, self.tc.gaussian_sigma, normalize=True)
         offset_enc = np.stack([p_center, p_offset[0], p_offset[1]], axis=-1)
 
@@ -197,7 +219,7 @@ class PerturbedPanopticMapper:
         }
 
         # error-map targets: decode stored RLEs, or derive on the fly
-        if all(k in record for k in EEE_KEYS):
+        if use_stored_eee:
             maps = {k: rle.decode(record[k]).astype(np.float32) for k in EEE_KEYS}
             maps = {
                 k: cv2.resize(v, (w, h), interpolation=cv2.INTER_NEAREST)
@@ -206,8 +228,8 @@ class PerturbedPanopticMapper:
         else:
             from quber_tpu.data.eee import compute_eee_maps
 
-            maps = compute_eee_maps(np.asarray(gt_masks, np.uint8) if gt_masks else np.zeros((0, h, w), np.uint8),
-                                    np.asarray(pert, np.uint8) if pert else np.zeros((0, h, w), np.uint8))
+            maps = compute_eee_maps(np.asarray(gt_masks, np.uint8) if len(gt_masks) else np.zeros((0, h, w), np.uint8),
+                                    np.asarray(pert, np.uint8) if len(pert) else np.zeros((0, h, w), np.uint8))
         from quber_tpu.models.mask_refiner import assemble_eee_targets
 
         et = self.mc.error_type

@@ -119,6 +119,22 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         ckpt = os.environ.get("QUBER_MSMFORMER_CKPT", "output/msmformer/ckpt")
         return PretrainedMSMFormerBaseModel(restore_params(ckpt),
                                             dataset=dataset)
+    if name == "uoaisnet-pretrained":
+        # imported reference checkpoint (tools/import_checkpoint.py --model
+        # uoais_net); QUBER_UOAIS_CKPT points at the orbax dir, and
+        # QUBER_CGNET_CKPT (optional) enables the reference wrapper's
+        # CGNet fg-overlap filter (base_model.py:188-218)
+        from quber_tpu.models.uoais_net_pretrained import (
+            UOAISNetPretrainedBaseModel,
+        )
+        from quber_tpu.train.checkpoint import restore_params
+
+        ckpt = os.environ.get("QUBER_UOAIS_CKPT", "output/uoais_net/ckpt")
+        fg_ckpt = os.environ.get("QUBER_CGNET_CKPT", "")
+        fg_params = restore_params(fg_ckpt) if fg_ckpt else None
+        return UOAISNetPretrainedBaseModel(
+            restore_params(ckpt)["params"], dataset=dataset,
+            fg_params=fg_params)
     if name == "uoisnet3d":
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 
@@ -148,6 +164,6 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
     raise NotImplementedError(
         f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn, "
         "msmformer, msmformer-pretrained, uoisnet3d, uoaisnet, "
-        "uoaisnet-amodal, sam, detic, "
+        "uoaisnet-amodal, uoaisnet-pretrained, sam, detic, "
         "grounded-sam"
     )

@@ -580,3 +580,128 @@ def import_msmformer(state_dict: dict, strict: bool = True,
         if k.startswith("criterion.") or k in ("pixel_mean", "pixel_std"):
             b.used.add(k)
     return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# UOAIS-Net (ext_modules/uoais model_final.pth['model'], detectron2
+# GeneralizedRCNN with R50_rgbdconcat_mlc_occatmask_hom_concat.yaml; eval
+# wrapper /root/reference/eval/base_model.py:174-222)
+# ---------------------------------------------------------------------------
+
+
+def _d2conv(b, fpath, tkey, norm=None):
+    """detectron2 Conv2d (+ optional fused .norm) -> quber ConvNorm module
+    (kernel under a "conv" subname, FrozenBN as frozen_* params)."""
+    b._insert(b.params, fpath + ["conv", "kernel"],
+              conv_kernel(b.take(f"{tkey}.weight")))
+    if f"{tkey}.bias" in b.sd:
+        b._insert(b.params, fpath + ["conv", "bias"], b.take(f"{tkey}.bias"))
+    if norm == "FrozenBN":
+        n = fpath + ["FrozenBatchNorm_0"]
+        b._insert(b.params, n + ["frozen_weight"], b.take(f"{tkey}.norm.weight"))
+        b._insert(b.params, n + ["frozen_bias"], b.take(f"{tkey}.norm.bias"))
+        b._insert(b.params, n + ["frozen_mean"],
+                  b.take(f"{tkey}.norm.running_mean"))
+        b._insert(b.params, n + ["frozen_var"],
+                  b.take(f"{tkey}.norm.running_var"))
+
+
+def _d2convT(b, fpath, tkey):
+    """torch ConvTranspose2d -> flax nn.ConvTranspose kernel [kh,kw,in,out]."""
+    w = b.take(f"{tkey}.weight")  # [in, out, kh, kw]
+    b._insert(b.params, fpath + ["kernel"], np.transpose(w, (2, 3, 0, 1)))
+    if f"{tkey}.bias" in b.sd:
+        b._insert(b.params, fpath + ["bias"], b.take(f"{tkey}.bias"))
+
+
+def _linear_nchw(b, fpath, tkey, c, h, w):
+    """torch Linear over an NCHW flatten -> flax Dense over NHWC flatten."""
+    wt = b.take(f"{tkey}.weight")  # [out, c*h*w]
+    out = wt.shape[0]
+    wt = wt.reshape(out, c, h, w).transpose(0, 2, 3, 1).reshape(out, -1)
+    b._insert(b.params, fpath + ["kernel"], wt.T)
+    b._insert(b.params, fpath + ["bias"], b.take(f"{tkey}.bias"))
+
+
+def _d2_r50_trunk(b, fpath, tprefix, stage_prefix="res"):
+    """Standard detectron2 R50 trunk (BasicStem + res2..res5, FrozenBN).
+
+    stage_prefix="res_" handles the depth trunk's underscored stage names
+    (adet resnet_depth.py:98)."""
+    _d2conv(b, fpath + ["stem", "conv1"], f"{tprefix}.stem.conv1", "FrozenBN")
+    for s, n in zip(range(2, 6), (3, 4, 6, 3)):
+        for blk in range(n):
+            t = f"{tprefix}.{stage_prefix}{s}.{blk}"
+            f = fpath + [f"res{s}_{blk}"]
+            for c in ("conv1", "conv2", "conv3"):
+                _d2conv(b, f + [c], f"{t}.{c}", "FrozenBN")
+            if f"{t}.shortcut.weight" in b.sd:
+                _d2conv(b, f + ["shortcut"], f"{t}.shortcut", "FrozenBN")
+
+
+def _hom_mask_head(b, head, prefix, n_guidance):
+    """Visible/Amodal MaskRCNNConvUpsampleHead (mask_heads.py:515-728)."""
+    t = f"roi_heads.{head}"
+    f = [head]
+    for i in range(3):
+        _d2conv(b, f + [f"{prefix}_guidance_layer{i}"],
+                f"{t}.{prefix}_guidance_layer{i}")
+    for k in range(1, 5):
+        _d2conv(b, f + [f"{prefix}_mask_fcn{k}"], f"{t}.{prefix}_mask_fcn{k}")
+    for i in range(3):
+        _d2conv(b, f + [f"{prefix}_mlc_layer{i}"], f"{t}.{prefix}_mlc_layer{i}")
+    _d2convT(b, f + ["deconv"], f"{t}.deconv")
+    _d2conv(b, f + ["predictor"], f"{t}.predictor")
+
+
+def import_uoais_net(state_dict: dict, strict: bool = True) -> dict:
+    """detectron2 UOAIS-Net state_dict -> UOAISNetPretrained variables."""
+    b = _ZooBuilder(state_dict)
+    sd = b.sd
+
+    _d2_r50_trunk(b, ["bottom_up_rgb"], "backbone.bottom_up_rgb", "res")
+    _d2_r50_trunk(b, ["bottom_up_depth"], "backbone.bottom_up_depth", "res_")
+    for s in range(2, 6):
+        _d2conv(b, [f"fusion_layer_{s}"],
+                f"backbone.fusion_layers.fusion_layer_{s}")
+        _d2conv(b, [f"fpn_lateral{s}"], f"backbone.fpn_lateral{s}")
+        _d2conv(b, [f"fpn_output{s}"], f"backbone.fpn_output{s}")
+
+    rpn = "proposal_generator.rpn_head"
+    _d2conv(b, ["rpn_conv"], f"{rpn}.conv")
+    _d2conv(b, ["rpn_objectness"], f"{rpn}.objectness_logits")
+    _d2conv(b, ["rpn_anchor_deltas"], f"{rpn}.anchor_deltas")
+
+    for i in range(1, 5):
+        _d2conv(b, [f"box_head_conv{i}"], f"roi_heads.box_head.conv{i}")
+    _linear_nchw(b, ["cls_score"], "roi_heads.box_predictor.cls_score",
+                 256, 7, 7)
+    _linear_nchw(b, ["bbox_pred"], "roi_heads.box_predictor.bbox_pred",
+                 256, 7, 7)
+
+    _d2convT(b, ["extraction_mlc_layer0"], "roi_heads.extraction_mlc_layer0")
+    _d2conv(b, ["extraction_mlc_layer1"], "roi_heads.extraction_mlc_layer1")
+    _d2conv(b, ["extraction_mlc_layer2"], "roi_heads.extraction_mlc_layer2")
+
+    _hom_mask_head(b, "visible_mask_head", "visible", 1)
+    _hom_mask_head(b, "amodal_mask_head", "amodal", 2)
+
+    t, f = "roi_heads.occ_cls_mask_head", ["occ_cls_mask_head"]
+    for i in range(3):
+        _d2conv(b, f + [f"occlusion_guidance_layer{i}"],
+                f"{t}.occlusion_guidance_layer{i}")
+    for k in range(1, 5):
+        _d2conv(b, f + [f"_occ_cls_fcn{k}"], f"{t}._occ_cls_fcn{k}")
+    for i in range(3):
+        _d2conv(b, f + [f"occ_cls__mlc_layer{i}"], f"{t}.occ_cls__mlc_layer{i}")
+    _linear_nchw(b, f + ["predictor"], f"{t}.predictor", 256, 7, 7)
+
+    # non-parameter buffers: normalizer constants, anchor tables, and the
+    # occ head's unused trailing deconv (its output only matters when "O"
+    # is not last in PREDICTION_ORDER; the deployed config ends with O)
+    for k in list(sd):
+        if (k in ("pixel_mean", "pixel_std")
+                or k.startswith("proposal_generator.anchor_generator")
+                or k.startswith("roi_heads.occ_cls_mask_head.deconv")):
+            b.used.add(k)
+    return _result(b, strict)

@@ -61,8 +61,14 @@ def nms_fixed(boxes, scores, iou_threshold: float = 0.5, max_out: int | None = N
 
 
 def generate_anchors(feat_h: int, feat_w: int, stride: int,
-                     sizes=(32, 64, 128), aspect_ratios=(0.5, 1.0, 2.0)):
-    """Dense anchors [H*W*A, 4] XYXY, centered on feature cells."""
+                     sizes=(32, 64, 128), aspect_ratios=(0.5, 1.0, 2.0),
+                     offset: float = 0.5):
+    """Dense anchors [H*W*A, 4] XYXY, centered on feature cells.
+
+    offset=0.5 centers anchors on cell centers; the detectron2
+    DefaultAnchorGenerator convention (used by the UOAIS-Net reference
+    checkpoints) is offset=0.0 (corners).
+    """
     import numpy as np
 
     anchors = []
@@ -72,22 +78,29 @@ def generate_anchors(feat_h: int, feat_w: int, stride: int,
             h = s * np.sqrt(ar)
             anchors.append([-w / 2, -h / 2, w / 2, h / 2])
     base = np.asarray(anchors, np.float32)  # [A, 4]
-    ys = (np.arange(feat_h) + 0.5) * stride
-    xs = (np.arange(feat_w) + 0.5) * stride
+    ys = (np.arange(feat_h) + offset) * stride
+    xs = (np.arange(feat_w) + offset) * stride
     cx, cy = np.meshgrid(xs, ys)
     shifts = np.stack([cx, cy, cx, cy], axis=-1).reshape(-1, 1, 4)
     return jnp.asarray((shifts + base[None]).reshape(-1, 4))
 
 
-def apply_deltas(boxes, deltas, clip_hw=None):
-    """Faster-RCNN box decoding: (dx, dy, dw, dh) on XYXY anchors."""
+def apply_deltas(boxes, deltas, clip_hw=None, weights=None, scale_clamp=4.0):
+    """Faster-RCNN box decoding: (dx, dy, dw, dh) on XYXY anchors.
+
+    weights: optional (wx, wy, ww, wh) Box2BoxTransform divisors (detectron2
+    uses (10, 10, 5, 5) for the ROI box head, (1, 1, 1, 1) for the RPN);
+    scale_clamp bounds dw/dh (detectron2: log(1000/16) ~= 4.135)."""
     w = boxes[:, 2] - boxes[:, 0]
     h = boxes[:, 3] - boxes[:, 1]
     cx = boxes[:, 0] + 0.5 * w
     cy = boxes[:, 1] + 0.5 * h
     dx, dy, dw, dh = deltas[:, 0], deltas[:, 1], deltas[:, 2], deltas[:, 3]
-    dw = jnp.clip(dw, -4.0, 4.0)
-    dh = jnp.clip(dh, -4.0, 4.0)
+    if weights is not None:
+        wx, wy, ww, wh = weights
+        dx, dy, dw, dh = dx / wx, dy / wy, dw / ww, dh / wh
+    dw = jnp.clip(dw, -scale_clamp, scale_clamp)
+    dh = jnp.clip(dh, -scale_clamp, scale_clamp)
     ncx = cx + dx * w
     ncy = cy + dy * h
     nw = w * jnp.exp(dw)

@@ -315,7 +315,6 @@ def fg_overlap_filter(panoptic, num_instances, fg_mask, min_overlap: float = 0.3
     image and the new instance count.
     """
     flat = panoptic.reshape(-1)
-    m = int(jnp.shape(panoptic)[0] * jnp.shape(panoptic)[1])  # static bound unused
     length = 1024  # static id bound; panoptic ids are <= top_k + 2 << 1024
     area = jnp.bincount(flat, length=length).astype(jnp.float32)
     inter = jnp.bincount(

@@ -64,3 +64,28 @@ def restore_params(directory: str, template: Any | None = None):
     restored = mgr.restore(step, args=args)
     mgr.close()
     return restored["params"]
+
+
+def load_eval_params(directory: str):
+    """Load predictor-ready variables from EITHER checkpoint flavor.
+
+    Training checkpoints (save_state: TrainState with step/params/
+    batch_stats/opt_state) and imported/param-only checkpoints
+    (save_params: {"params": variables}) both restore to the
+    {"params": ..., ["batch_stats": ...]} dict the predictor applies —
+    the reference's DetectionCheckpointer accepts both .pth flavors the
+    same way (train_net.py:191-198).
+    """
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    mgr.close()
+    if "opt_state" in restored or "step" in restored:  # TrainState flavor
+        out = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            out["batch_stats"] = restored["batch_stats"]
+        return out
+    return restored["params"]

@@ -53,9 +53,9 @@ def main():
 
     params = None
     if args.weights_file:
-        from quber_tpu.train.checkpoint import restore_params
+        from quber_tpu.train.checkpoint import load_eval_params
 
-        params = restore_params(args.weights_file)
+        params = load_eval_params(args.weights_file)
 
     refiner_name = args.refiner_model
     if refiner_name == "maskrefiner" and not args.use_cgnet:

@@ -46,6 +46,32 @@ def test_copy_paste(rng, blobs):
     assert (out_masks.astype(np.int32).sum(0) <= 1).all()
 
 
+def test_copy_paste_paired(rng, blobs):
+    """Paired (perturbed) masks follow the paste: occluded where pasted,
+    and the donor's paired pixels inside the pasted instance arrive as a
+    new paired mask at the same offset."""
+    h, w = 96, 128
+    rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    depth = rng.rand(h, w).astype(np.float32)
+    masks = blobs(rng, 2, h, w, min_r=10, max_r=20)
+    pert = masks.copy()  # initial masks = gt here
+    donor_rgb = np.full((h, w, 3), 200, np.uint8)
+    donor_depth = np.full((h, w), 0.5, np.float32)
+    donor_masks = blobs(rng, 1, h, w, min_r=12, max_r=20)
+    donor_pert = donor_masks.copy()
+    out_rgb, out_depth, out_masks, out_pert = A.copy_paste(
+        rgb, depth, masks, donor_rgb, donor_depth, donor_masks, rng,
+        max_paste=1, paired_masks=pert, donor_paired=donor_pert,
+    )
+    assert len(out_masks) == len(out_pert)
+    pasted = out_masks[-1].astype(bool)
+    # the new paired mask equals the pasted gt (donor paired == donor gt)
+    np.testing.assert_array_equal(out_pert[-1].astype(bool), pasted)
+    # surviving original paired masks are cleared under the paste
+    for p in out_pert[:-1]:
+        assert not (p.astype(bool) & pasted).any()
+
+
 def test_felzenszwalb_reference_perturbation(rng):
     """Reference-flow perturbation: Felzenszwalb proposals seed FPs and
     over-/under-segmentations; surviving masks keep IoU in/near the target

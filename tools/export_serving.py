@@ -53,9 +53,9 @@ def main():
                             dtype=args.dtype)
     params = None
     if args.weights:
-        from quber_tpu.train.checkpoint import restore_params
+        from quber_tpu.train.checkpoint import load_eval_params
 
-        params = restore_params(args.weights)
+        params = load_eval_params(args.weights)
     pred = MaskRefinerPredictor(cfg, params, max_instances=args.max_instances)
 
     from functools import partial

@@ -28,7 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODELS = ("mask_refiner", "cgnet", "lmffnet", "ucn", "cascadepsp", "sam_hq",
-          "msmformer")
+          "msmformer", "uoais_net")
 
 
 def import_variables(model: str, sd: dict, model_cfg=None) -> dict:
@@ -53,6 +53,10 @@ def import_variables(model: str, sd: dict, model_cfg=None) -> dict:
         # deployed PretrainedMeanShiftMaskFormer (norm_model_0069999.pth /
         # crop_dec9_model_final.pth, eval/base_model.py:963-1012)
         return IZ.import_msmformer(sd)
+    if model == "uoais_net":
+        # deployed GeneralizedRCNN model_final.pth
+        # (R50_rgbdconcat_mlc_occatmask_hom_concat, eval/base_model.py:174-186)
+        return IZ.import_uoais_net(sd)
     raise ValueError(f"unknown model {model!r}; choose from {MODELS}")
 
 

@@ -86,6 +86,7 @@ def main():
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max-iter", type=int, default=None)
+    parser.add_argument("--checkpoint-period", type=int, default=None)
     parser.add_argument("--log-period", type=int, default=20)
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated data (smoke/e2e test)")
@@ -133,6 +134,10 @@ def main():
         )
     if args.max_iter:
         train_cfg = dataclasses.replace(train_cfg, max_iter=args.max_iter)
+    if args.checkpoint_period:
+        train_cfg = dataclasses.replace(
+            train_cfg, checkpoint_period=args.checkpoint_period
+        )
     if args.depth_range:
         train_cfg = dataclasses.replace(
             train_cfg, depth_range=tuple(args.depth_range)
