@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -29,9 +30,22 @@ def main():
     enable_compilation_cache()  # warm runs skip the ~2x45 s pipeline compiles
 
     cfg = MaskRefinerConfig(dtype="bfloat16")
+    # trained weights when available (the production serving path: coherent
+    # panoptic maps keep the smaller RLE output on); random init otherwise —
+    # throughput is weight-independent, only the output-path choice differs
+    params, weights = None, "random"
+    ckpt = os.environ.get("QUBER_BENCH_CKPT", "output/flagship_synth/ckpt")
+    if os.path.isdir(ckpt):
+        try:
+            from quber_tpu.train.checkpoint import load_eval_params
+
+            params = load_eval_params(ckpt)
+            weights = "trained"
+        except Exception:
+            pass
     # 24 instance slots cover the benchmark datasets (OCID maxes ~20
     # objects) at 2.6x less mask-transfer volume than the default 64
-    predictor = MaskRefinerPredictor(cfg, max_instances=24)
+    predictor = MaskRefinerPredictor(cfg, params=params, max_instances=24)
 
     # OCID-like synthetic scene: 8 instances on a 480x640 RGB-D frame.
     # RGB is full-entropy noise (worst case for the transport — real camera
@@ -56,16 +70,16 @@ def main():
     depth = np.clip(depth_f, 0, 255).astype(np.uint8)
 
     # warmup: compile the streaming pipeline + first (slow) D2H through the
-    # transport. params are random (perf is weight-independent); sanity-check
-    # shapes only.
+    # transport; sanity-check shapes only.
     batch_size = 16
     frames_warm = [(rgb, depth, masks)] * batch_size
-    # raw-map output pinned: random params produce fragmented panoptic maps,
-    # for which the adaptive stream would switch to the raw path anyway after
-    # one batch (real-weight serving keeps the smaller RLE output). Pinning
-    # avoids compiling the RLE variant during warmup.
+    # with random params the panoptic maps are fragmented and the adaptive
+    # stream would switch to the raw path after one batch anyway — pin it to
+    # skip compiling the RLE variant. Trained weights run the adaptive
+    # (production) path, which keeps the smaller RLE output on.
+    use_rle = None if weights == "trained" else False
     for pan, count, scores in predictor.predict_batch_stream(
-        frames_warm, batch_size=batch_size, use_rle=False
+        frames_warm, batch_size=batch_size, use_rle=use_rle
     ):
         assert pan.shape == (h, w) and 0 <= count <= 24, (pan.shape, count)
 
@@ -83,7 +97,7 @@ def main():
         t0 = time.time()
         n_out = 0
         for pan, count, scores in predictor.predict_batch_stream(
-            frames, batch_size=batch_size, use_rle=False
+            frames, batch_size=batch_size, use_rle=use_rle
         ):
             n_out += 1
         assert n_out == iters
@@ -95,6 +109,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "weights": weights,
     }))
 
 

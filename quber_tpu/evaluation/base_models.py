@@ -132,9 +132,12 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         ckpt = os.environ.get("QUBER_UOAIS_CKPT", "output/uoais_net/ckpt")
         fg_ckpt = os.environ.get("QUBER_CGNET_CKPT", "")
         fg_params = restore_params(fg_ckpt) if fg_ckpt else None
+        try:
+            params = restore_params(ckpt)["params"]
+        except FileNotFoundError:
+            params = None  # random init (perf smoke without a checkpoint)
         return UOAISNetPretrainedBaseModel(
-            restore_params(ckpt)["params"], dataset=dataset,
-            fg_params=fg_params)
+            params, dataset=dataset, fg_params=fg_params)
     if name == "uoisnet3d":
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 

@@ -156,7 +156,13 @@ class QuBERRefiner:
 def build_refiner_model(name: str, dataset: str, config=None, params=None,
                         npy_folder: str = ""):
     if name == "maskrefiner":
-        return QuBERRefiner(config, params, dataset=dataset)
+        fg_ckpt = os.environ.get("QUBER_LMFFNET_CKPT", "")
+        fg_params = None
+        if fg_ckpt:
+            from quber_tpu.train.checkpoint import restore_params
+
+            fg_params = restore_params(fg_ckpt)
+        return QuBERRefiner(config, params, fg_params=fg_params, dataset=dataset)
     if name == "maskrefiner-nofilter":
         return QuBERRefiner(config, params, dataset=dataset, use_fg_filter=False)
     if name == "identity":

@@ -316,9 +316,9 @@ class UOAISNetPretrainedBaseModel:
 
     PIXEL_MEAN = (103.53, 116.28, 123.675, 127.5, 127.5, 127.5)
 
-    def __init__(self, params, dataset="OSD", amodal=False, fg_params=None,
+    def __init__(self, params=None, dataset="OSD", amodal=False, fg_params=None,
                  height=480, width=640, test_size=(800, 1088),
-                 score_thresh=0.5, nms_thresh=0.5):
+                 score_thresh=0.5, nms_thresh=0.5, seed=0):
         self.params = params
         self.dataset = dataset
         self.amodal = amodal
@@ -326,6 +326,11 @@ class UOAISNetPretrainedBaseModel:
         self.test_h, self.test_w = test_size
         self.model = UOAISNetPretrained(score_thresh=score_thresh,
                                         nms_thresh=nms_thresh)
+        if self.params is None:  # random init: perf benchmarking only
+            self.params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((self.test_h, self.test_w, 6), jnp.float32),
+            )["params"]
         self.fg = None
         if fg_params is not None:
             from quber_tpu.models.fg_predictor import CGNetPredictor

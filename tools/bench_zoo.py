@@ -68,7 +68,7 @@ def main():
 
     base_names = ["gt", "perturbed-gt", "ucn", "ucn-zoomin", "msmformer",
                   "msmformer-zoomin", "uoisnet3d", "uoaisnet",
-                  "uoaisnet-amodal", "sam", "sam-depth"]
+                  "uoaisnet-amodal", "uoaisnet-pretrained", "sam", "sam-depth"]
     refiner_names = ["maskrefiner-nofilter", "identity", "cascadepsp",
                      "rice", "sam", "hq-sam"]
     if args.models:
