@@ -45,6 +45,9 @@ def main():
 
     from quber_tpu.config import from_detectron2_yaml, load_config
     from quber_tpu.evaluation.harness import run_eval
+    from quber_tpu.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # warm re-runs skip pipeline compiles
 
     if args.config_file.startswith("configs/") or "model:" in open(args.config_file).read():
         model_cfg, _ = load_config(args.config_file)
