@@ -41,12 +41,16 @@ def render_scene(
     depth_range=(2500.0, 15000.0),
     n_objects=None,
     dropout_frac: float = 0.0,
+    return_amodal: bool = False,
 ):
     """Render one scene.
 
     Returns (rgb uint8 [h,w,3], depth_mm float32 [h,w], masks uint8 [n,h,w]).
     Masks are visible regions only (later = nearer objects occlude earlier
-    ones); fully-occluded objects are dropped.
+    ones); fully-occluded objects are dropped. With `return_amodal`, a
+    fourth array of the full (pre-occlusion) masks per kept object is
+    appended — the amodal ground truth UOAIS-Net-style amodal training
+    needs (rcnn_heads.py amodal mask head targets).
     """
     ys, xs = np.mgrid[:h, :w].astype(np.float32)
     lo, hi = float(depth_range[0]), float(depth_range[1])
@@ -71,6 +75,7 @@ def render_scene(
 
     label = np.zeros((h, w), np.int32)
     keep_ids = []
+    full_masks = {}
     for k in range(1, n_objects + 1):
         cy = rng.randint(margin, h - margin)
         cx = rng.randint(margin, w - margin)
@@ -93,17 +98,20 @@ def render_scene(
         rgb = np.where(m[..., None], obj_rgb, rgb)
         label = np.where(m, k, label)  # later object wins = occludes
         keep_ids.append(k)
+        full_masks[k] = m
 
-    masks = []
+    masks, amodal = [], []
     for k in keep_ids:
         vis = label == k
         if vis.sum() >= 24:  # drop (nearly) fully-occluded objects
             masks.append(vis.astype(np.uint8))
+            amodal.append(full_masks[k].astype(np.uint8))
     if not masks:  # degenerate scene: force one central object
         m = _superellipse(ys, xs, h // 2, w // 2, r_hi, r_hi, 0.0, 2.0)
         depth = np.where(m, lo + 0.2 * span, depth)
         rgb = np.where(m[..., None], np.float32([200, 80, 80]), rgb)
         masks = [m.astype(np.uint8)]
+        amodal = [m.astype(np.uint8)]
 
     if dropout_frac > 0:
         # sensor dropout blobs: zero depth at object boundaries + speckle
@@ -111,6 +119,9 @@ def render_scene(
         depth = np.where(drop, 0.0, depth)
 
     rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    if return_amodal:
+        return (rgb, depth.astype(np.float32), np.asarray(masks, np.uint8),
+                np.asarray(amodal, np.uint8))
     return rgb, depth.astype(np.float32), np.asarray(masks, np.uint8)
 
 

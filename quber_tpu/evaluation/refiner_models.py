@@ -180,7 +180,12 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
     if name in ("sam", "hq-sam", "hq-sam-pretrained"):
         from quber_tpu.models.sam_refiner import SAMHQRefiner
 
-        return SAMHQRefiner(params=params, dataset=dataset, hq=name != "sam")
+        # hq-sam-pretrained = the reference's fine-tuned ViT-H HQ-SAM
+        # (refiner_model.py:560-564); plain sam/hq-sam default to ViT-B
+        # scale for perf smokes at random init
+        preset = "vit_h" if name == "hq-sam-pretrained" else None
+        return SAMHQRefiner(params=params, dataset=dataset, hq=name != "sam",
+                            preset=preset)
     if name is None or name in ("none", "save"):
         return None
     raise NotImplementedError(
