@@ -142,14 +142,15 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 
         return UOISNet3DBaseModel(dataset=dataset)
-    if name == "uoaisnet":
+    if name in ("uoaisnet", "uoaisnet-amodal"):
         from quber_tpu.models.uoais_net import UOAISNetBaseModel
+        from quber_tpu.train.checkpoint import restore_params
 
-        return UOAISNetBaseModel(dataset=dataset)
-    if name == "uoaisnet-amodal":
-        from quber_tpu.models.uoais_net import UOAISNetBaseModel
-
-        return UOAISNetBaseModel(dataset=dataset, amodal=True)
+        # tools/train_zoo.py checkpoint (random init without one)
+        ckpt = os.environ.get("QUBER_UOAISNET_CKPT", "")
+        params = restore_params(ckpt) if ckpt else None
+        return UOAISNetBaseModel(params=params, dataset=dataset,
+                                 amodal=name.endswith("amodal"))
     if name in ("sam", "sam-depth"):
         from quber_tpu.models.sam_refiner import SAMAutomaticBaseModel
 
