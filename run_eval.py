@@ -14,9 +14,10 @@ def main():
     parser.add_argument("--config-file", default="configs/mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8.yaml")
     parser.add_argument("--base-model", default="gt",
                         help="gt | empty | npy | perturbed-gt | uoaisnet | "
-                             "uoaisnet-amodal | ucn | ucn-zoomin | msmformer | "
-                             "msmformer-zoomin | uoisnet3d | sam | sam-depth | "
-                             "detic | grounded-sam")
+                             "uoaisnet-amodal | uoaisnet-pretrained | ucn | "
+                             "ucn-zoomin | msmformer | msmformer-zoomin | "
+                             "msmformer-pretrained | uoisnet3d | sam | "
+                             "sam-depth | detic | grounded-sam")
     parser.add_argument("--refiner-model", default="maskrefiner",
                         help="maskrefiner | maskrefiner-nofilter | identity | "
                              "npy | rice | cascadepsp | cascadepsp-rgbd | sam | "
