@@ -270,7 +270,13 @@ class UOAISNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, rgb, depth):
+    def __call__(self, rgb, depth, gt_proposals=None):
+        """gt_proposals [G, 4] XYXY (training only): GT boxes spliced into
+        the proposal set and force-ranked into the detections —
+        detectron2's add_ground_truth_to_proposals semantics, which the
+        reference's ROIHeads inherit. Without it the ROI/mask heads only
+        start training once RPN proposals cross the positive-IoU
+        threshold (a from-scratch bootstrap deadlock)."""
         t, d = self.train, self.dtype
         h, w = rgb.shape[1], rgb.shape[2]
         fpn = RGBDFPN(norm=self.norm, train=t, dtype=d, name="backbone")(rgb, depth)
@@ -304,6 +310,23 @@ class UOAISNet(nn.Module):
         prop_boxes = cand_boxes[order][:p]
         prop_scores = jnp.where(keep[order][:p], cand_scores[order][:p], -jnp.inf)
         prop_valid = keep[order][:p]
+        det_boost = jnp.zeros((p,), jnp.float32)
+        if gt_proposals is not None:
+            g = gt_proposals.shape[0]
+            gt_ok = (gt_proposals[:, 2] > gt_proposals[:, 0]) & (
+                gt_proposals[:, 3] > gt_proposals[:, 1]
+            )
+            prop_boxes = jnp.concatenate(
+                [prop_boxes[: p - g], jnp.asarray(gt_proposals, jnp.float32)]
+            )
+            prop_valid = jnp.concatenate([prop_valid[: p - g], gt_ok])
+            prop_scores = jnp.concatenate(
+                [prop_scores[: p - g], jnp.where(gt_ok, jnp.inf, -jnp.inf)]
+            )
+            # rank GT slots into the detection set regardless of the (still
+            # untrained) classifier so the mask heads see positives from
+            # step one
+            det_boost = det_boost.at[p - g:].set(jnp.where(gt_ok, 2.0, 0.0))
 
         # ---- box stage: level-assigned ROI align on p2..p5 ----
         feats = {k: fpn[k][0].astype(jnp.float32) for k in ROI_STRIDES}
@@ -316,9 +339,10 @@ class UOAISNet(nn.Module):
         cls_scores = jnp.where(prop_valid, jax.nn.sigmoid(cls_logit), 0.0)
 
         # final detection selection: NMS on regressed boxes, top max_detections
-        det_keep = box_ops.nms_fixed(final_boxes, jnp.where(prop_valid, cls_scores, -1.0), 0.5)
+        rank_scores = cls_scores + det_boost
+        det_keep = box_ops.nms_fixed(final_boxes, jnp.where(prop_valid, rank_scores, -1.0), 0.5)
         det_keep = det_keep & prop_valid
-        det_order = jnp.argsort(-jnp.where(det_keep, cls_scores, -jnp.inf))
+        det_order = jnp.argsort(-jnp.where(det_keep, rank_scores, -jnp.inf))
         det = self.max_detections
         det_idx = det_order[:det]
         det_boxes = final_boxes[det_idx]

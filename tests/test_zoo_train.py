@@ -56,6 +56,43 @@ def test_uoais_net_learns(rng):
     assert last < first, (first, last)
 
 
+def test_uoais_net_gt_proposals_engage_mask_losses(rng):
+    """add_ground_truth_to_proposals (detectron2 ROIHeads semantics): with GT
+    boxes spliced into the proposals, the ROI/mask losses are non-zero from
+    step one at RANDOM weights — the from-scratch bootstrap that a pure
+    RPN-proposal pipeline deadlocks on (proposals never cross the positive
+    IoU threshold, so mask heads never train)."""
+    from quber_tpu.models.uoais_net import UOAISNet, uoais_losses
+
+    m = UOAISNet(max_proposals=16, max_detections=4, norm="GN")
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    dep = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), rgb, dep)
+
+    gt_boxes = jnp.asarray([[8, 8, 30, 30], [35, 12, 60, 40], [0, 0, 0, 0]],
+                           jnp.float32)
+    gt_vis = np.zeros((3, 64, 64), np.float32)
+    gt_vis[0, 8:30, 8:30] = 1
+    gt_vis[1, 12:40, 35:60] = 1
+    gt_valid = jnp.asarray([True, True, False])
+    gt_vis = jnp.asarray(gt_vis)
+
+    out = m.apply(v, rgb, dep, gt_proposals=gt_boxes)
+    losses = uoais_losses(out, gt_boxes, gt_vis, gt_vis, gt_valid)
+    # every positive-gated loss fires immediately
+    assert float(losses["loss_visible_mask"]) > 0
+    assert float(losses["loss_amodal_mask"]) > 0
+    assert float(losses["loss_box"]) >= 0
+    # the GT slots are valid proposals with IoU 1 to their GT
+    from quber_tpu.ops import boxes as box_ops
+
+    piou = np.asarray(box_ops.box_iou(out["proposal_boxes"], gt_boxes))
+    assert piou.max() > 0.99
+    # inference signature unchanged: no gt_proposals -> same output tree
+    out2 = m.apply(v, rgb, dep)
+    assert out2["proposal_boxes"].shape == out["proposal_boxes"].shape
+
+
 def test_ucn_learns(rng):
     from quber_tpu.models.ucn import UCNEmbeddingNet, prototype_metric_loss
 

@@ -113,7 +113,11 @@ def main():
     @jax.jit
     def step(params, opt_state, rgb, depth, boxes, vis, amo, valid):
         def loss_fn(p):
-            out = model.apply({"params": p}, rgb[None], depth[None])
+            # GT boxes spliced into the proposals + detections
+            # (add_ground_truth_to_proposals) so ROI/mask heads train from
+            # step one
+            out = model.apply({"params": p}, rgb[None], depth[None],
+                              gt_proposals=jnp.where(valid[:, None], boxes, 0.0))
             losses = uoais_losses(out, boxes, vis, amo, valid)
             return sum(losses.values()), losses
 
