@@ -109,8 +109,6 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
     if name == "msmformer-pretrained":
         # imported reference checkpoint (tools/import_checkpoint.py --model
         # msmformer); QUBER_MSMFORMER_CKPT points at the orbax dir
-        import os
-
         from quber_tpu.models.msmformer_pretrained import (
             PretrainedMSMFormerBaseModel,
         )
@@ -149,8 +147,10 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         # tools/train_zoo.py checkpoint (random init without one)
         ckpt = os.environ.get("QUBER_UOAISNET_CKPT", "")
         params = restore_params(ckpt) if ckpt else None
+        thresh = float(os.environ.get("QUBER_UOAISNET_THRESH", "0.5"))
         return UOAISNetBaseModel(params=params, dataset=dataset,
-                                 amodal=name.endswith("amodal"))
+                                 amodal=name.endswith("amodal"),
+                                 score_threshold=thresh)
     if name in ("sam", "sam-depth"):
         from quber_tpu.models.sam_refiner import SAMAutomaticBaseModel
 

@@ -456,9 +456,15 @@ def uoais_losses(
 
     obj = outputs["rpn_objectness"]
     t = pos.astype(jnp.float32)
-    w = (pos | neg).astype(jnp.float32)
+    # balanced pos/neg weighting in expectation — the fixed-shape stand-in
+    # for detectron2's RPN minibatch sampling (256 anchors at positive
+    # fraction 0.5); uniform weighting drowns the handful of positives in
+    # tens of thousands of negatives and the objectness never rises
+    fp, fn_ = t, neg.astype(jnp.float32)
+    w = (0.5 * fp / jnp.maximum(fp.sum(), 1.0)
+         + 0.5 * fn_ / jnp.maximum(fn_.sum(), 1.0))
     obj_bce = jnp.maximum(obj, 0) - obj * t + jnp.log1p(jnp.exp(-jnp.abs(obj)))
-    loss_rpn_obj = jnp.sum(obj_bce * w) / jnp.maximum(w.sum(), 1.0)
+    loss_rpn_obj = jnp.sum(obj_bce * w)
 
     target_deltas = box_ops.boxes_to_deltas(anchors, gt_boxes[best_gt])
     pw = pos.astype(jnp.float32)[:, None]
@@ -478,10 +484,16 @@ def uoais_losses(
 
     cls = outputs["cls_logit"]
     tc = p_pos.astype(jnp.float32)
-    cw = (prop_valid if prop_valid is not None
+    cv = (prop_valid if prop_valid is not None
           else jnp.ones_like(p_pos)).astype(jnp.float32)
+    # detectron2 ROIHeads sample proposals at positive fraction 0.25;
+    # weight pos/neg 1:3 in expectation so the classifier isn't biased
+    # all-negative by the 6-positives-vs-122-negatives imbalance
+    cp, cn = tc * cv, (1.0 - tc) * cv
+    cw = (0.25 * cp / jnp.maximum(cp.sum(), 1.0)
+          + 0.75 * cn / jnp.maximum(cn.sum(), 1.0))
     cls_bce = jnp.maximum(cls, 0) - cls * tc + jnp.log1p(jnp.exp(-jnp.abs(cls)))
-    loss_cls = jnp.sum(cls_bce * cw) / jnp.maximum(cw.sum(), 1.0)
+    loss_cls = jnp.sum(cls_bce * cw)
 
     roi_deltas_t = box_ops.boxes_to_deltas(props, gt_boxes[p_gt])
     rw = p_pos.astype(jnp.float32)[:, None]
