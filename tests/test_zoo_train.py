@@ -48,10 +48,11 @@ def test_uoais_net_learns(rng):
     gt_vis, gt_amo = jnp.asarray(gt_vis), jnp.asarray(gt_amo)
 
     def loss_fn(params):
-        out = m.apply(params, rgb, dep)
+        # GT proposals so every loss head contributes to the descent signal
+        out = m.apply(params, rgb, dep, gt_proposals=gt_boxes)
         return sum(uoais_losses(out, gt_boxes, gt_vis, gt_amo, gt_valid).values())
 
-    first, last = _fit(loss_fn, v, steps=6, lr=3e-4)
+    first, last = _fit(loss_fn, v, steps=12, lr=3e-4)
     assert np.isfinite(last)
     assert last < first, (first, last)
 
