@@ -110,6 +110,11 @@ def main():
                         help="instance-slot bound for --device-targets")
     parser.add_argument("--workers", type=int, default=0,
                         help="grain prefetch workers (0 = in-process loader)")
+    parser.add_argument("--no-data-device-cache", action="store_true",
+                        help="disable the device-resident packed-sample pool "
+                             "for --synthetic --device-targets runs (the pool "
+                             "eliminates the per-step H2D transfer, which the "
+                             "remote-TPU transport never frees host-side)")
     args = parser.parse_args()
 
     import dataclasses
@@ -179,7 +184,41 @@ def main():
         )
     else:
         train_step = make_train_step(model_cfg, train_cfg, tx, mesh)
-    if args.workers:
+    # Device-resident data pool for synthetic + device-targets runs: the
+    # packed samples are deterministic per record (no host-side augmentation
+    # on the synthetic branch), so transfer the whole pool to the device ONCE
+    # and gather each batch by index on-device. This removes the ~30 MB/step
+    # H2D transfer — which the remote-TPU (axon) transport retains host-side
+    # forever, OOM-killing long runs — and takes the input pipeline off the
+    # step's critical path entirely.
+    device_pool = None
+    if args.synthetic and args.device_targets and not args.no_data_device_cache:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from quber_tpu.parallel.mesh import shard_batch
+
+        packed_all = np.stack([mapper(r)["packed"] for r in records])
+        pool = jax.device_put(packed_all, NamedSharding(mesh, PartitionSpec()))
+        gather = jax.jit(
+            lambda p, idx: p[idx], out_shardings=shard_batch(mesh)
+        )
+        pool_rng = np.random.RandomState(train_cfg.seed)
+        order = np.arange(len(records))
+        pos = len(records)  # force an initial shuffle
+
+        def device_pool():
+            nonlocal pos
+            idx = np.empty(train_cfg.batch_size, np.int32)
+            for i in range(train_cfg.batch_size):
+                if pos >= len(order):
+                    pool_rng.shuffle(order)
+                    pos = 0
+                idx[i] = order[pos]
+                pos += 1
+            return gather(pool, jax.device_put(idx))
+
+        batches = None
+    elif args.workers:
         from quber_tpu.data.datasets import get_dataset
         from quber_tpu.data.pipeline import make_dataloader
 
@@ -193,9 +232,12 @@ def main():
     t0 = time.time()
     start = int(state.step)
     for it in range(start, train_cfg.max_iter):
-        batch = put_batch(next(batches), mesh)
-        if args.device_targets:
-            batch = batch["packed"]
+        if device_pool is not None:
+            batch = device_pool()
+        else:
+            batch = put_batch(next(batches), mesh)
+            if args.device_targets:
+                batch = batch["packed"]
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, batch, step_rng)
         if (it + 1) % args.log_period == 0 or it + 1 == train_cfg.max_iter:
