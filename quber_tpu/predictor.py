@@ -15,6 +15,9 @@ device syncs (model.py:318-356).
 
 from __future__ import annotations
 
+import os
+import threading
+import time
 from functools import partial
 
 import numpy as np
@@ -28,21 +31,24 @@ from quber_tpu.ops.grouping import get_panoptic_segmentation
 
 
 def device_put_split(arr: np.ndarray, min_bytes: int = 4 << 20,
-                     streams: int = 2) -> jnp.ndarray:
+                     streams: int | None = None) -> jnp.ndarray:
     """Transfer a host array as `streams` concurrent H2D transfers.
 
     The tunneled-TPU transport moves one TCP stream per transfer at
     ~50 MB/s (latency-limited window); two concurrent streams sustain
-    ~72 MB/s, and more do not help further. Splitting along axis 0 and
+    ~72 MB/s on a quiet link, and more do not help further there — but on
+    a congested link extra flows claim a larger fair share, so the count
+    is tunable via QUBER_H2D_STREAMS. Splitting along axis 0 and
     concatenating on device costs one tiny device op and wins ~1.4x on
     the streaming predictor's ~21 MB input batches. Small arrays go as
     one transfer. On a directly-attached TPU the split is harmless
     (PCIe copies are parallel-safe).
     """
+    if streams is None:
+        env = os.environ.get("QUBER_H2D_STREAMS", "2")
+        streams = int(env) if env.isdigit() else 2  # "auto" -> stream default
     if arr.nbytes < min_bytes or arr.shape[0] < streams:
         return jnp.asarray(arr)
-    import threading
-
     parts = np.array_split(arr, streams, axis=0)
     out = [None] * streams
 
@@ -58,6 +64,58 @@ def device_put_split(arr: np.ndarray, min_bytes: int = 4 << 20,
     for t in ts:
         t.join()
     return jnp.concatenate(out, axis=0)
+
+
+class _H2DTuner:
+    """Online H2D stream-count tuner for the tunneled-TPU transport.
+
+    The link's capacity AND its best concurrency swing on a minutes scale
+    (measured 8-72 MB/s; 2 flows win on a quiet link, 8 on a congested one
+    via TCP fair share), so a one-shot probe mispicks. This tuner times
+    every streamed send (with an async transport fence — see
+    predict_batch_stream), keeps a per-count EMA of achieved MB/s, sends
+    with the current best, and every 6th send re-explores a neighbor of
+    the best count (single ladder step — a bad probe then costs little)
+    to track drift."""
+
+    COUNTS = (1, 2, 4, 8, 12)
+
+    def __init__(self):
+        self.bw: dict[int, float] = {}
+        self.k = 0
+
+    def pick(self) -> int:
+        self.k += 1
+        for c in self.COUNTS:
+            if c not in self.bw:
+                return c
+        i = self.COUNTS.index(max(self.bw, key=lambda c: self.bw[c]))
+        if self.k % 6 == 0:
+            nbrs = [self.COUNTS[j] for j in (i - 1, i + 1)
+                    if 0 <= j < len(self.COUNTS)]
+            return nbrs[(self.k // 6) % len(nbrs)]
+        return self.COUNTS[i]
+
+    def report(self, count: int, mbps: float) -> None:
+        old = self.bw.get(count)
+        self.bw[count] = mbps if old is None else 0.5 * old + 0.5 * mbps
+
+    def best(self) -> tuple[int, float]:
+        if not self.bw:
+            return 0, 0.0
+        c = max(self.bw, key=lambda c: self.bw[c])
+        return c, self.bw[c]
+
+
+def transport_fence(x: jnp.ndarray) -> None:
+    """Block until `x` is resident on device.
+
+    block_until_ready does not fence the tunneled-TPU transport; reading
+    back a reduction that data-depends on `x` does. A scalar readback
+    costs one transport round trip (~27 ms tunneled, us-scale on a
+    directly-attached TPU)."""
+    flat = x.reshape(-1)
+    _ = np.asarray(jnp.sum(flat[:16].astype(jnp.int32)))
 
 
 def unpack_bits_device(packed: jnp.ndarray, n_bits: int) -> jnp.ndarray:
@@ -132,6 +190,9 @@ class MaskRefinerPredictor:
         max_instances: int = 64,
         seed: int = 0,
         max_in_runs: int | None = None,
+        max_depth_nz: int | None = None,
+        max_rgb_esc: int | None = None,
+        max_rle_runs: int | None = None,
     ):
         self.config = config or MaskRefinerConfig()
         self.max_instances = max_instances
@@ -152,6 +213,12 @@ class MaskRefinerPredictor:
         )
         self._pipeline_rlein_batch_rle = jax.jit(
             partial(self._pipeline_packed_batch_rle_impl, input_rle=True)
+        )
+        self._pipeline_rlecin_batch = jax.jit(
+            partial(self._pipeline_packed_batch_impl, input_rle="codec")
+        )
+        self._pipeline_rlecin_batch_rle = jax.jit(
+            partial(self._pipeline_packed_batch_rle_impl, input_rle="codec")
         )
         # packed-buffer layout (see _pack_inputs): rgb + MONO depth (the
         # reference pipeline's depth is always 3 replicated channels,
@@ -177,14 +244,34 @@ class MaskRefinerPredictor:
         # Sparse (pos u32, val u8) nonzeros cost 5 bytes each vs 307 KB
         # dense; noisy/incompressible depth falls back to the dense layout.
         # 24576 covers quantized smooth surfaces (~5-8% of pixels step) at a
-        # 123 KB block — a 2.5x win over dense depth.
-        self.max_depth_nz = 24576
+        # 123 KB block — a 2.5x win over dense depth. Callers with known
+        # scene statistics can tighten it (any frame over budget sends its
+        # batch through the dense layout, so keep real margin).
+        self.max_depth_nz = max_depth_nz or 24576
         self._rgb_bytes = h * w * 3
         self._depth_block = 4 + 5 * self.max_depth_nz
         self._in_bytes_rle = (
             self._rgb_bytes + self._depth_block
             + 8 * self.max_in_runs + self._valid_bytes
         )
+        # RGB codec layout: camera RGB delta-codes to small residuals (the
+        # image signal is smooth; sensor noise adds a few LSB), so the
+        # planar first-difference travels as 4-bit nibbles with nibble
+        # 0b1000 (-8) reserved as an in-band escape marker; full mod-256
+        # residuals for escaped positions travel densely in scan order (the
+        # device recovers their positions with a cumsum over the marker
+        # mask). 12.5% escape budget covers camera-noise levels (a rendered
+        # scene with sigma<=10 noise runs ~9%); full-entropy RGB overflows
+        # and the batch falls back to the dense-RGB RLE layout.
+        self.max_rgb_esc = max_rgb_esc or (3 * h * w) // 8
+        self._rgb_codec_block = 4 + (3 * h * w) // 2 + self.max_rgb_esc
+        self._in_bytes_rlec = (
+            self._rgb_codec_block + self._depth_block
+            + 8 * self.max_in_runs + self._valid_bytes
+        )
+        # sticky skip once a stream sees an incompressible batch, so steady
+        # full-entropy workloads don't pay the codec attempt per frame
+        self._rgb_codec_ok = True
         self._scores_len = cfg.top_k_instances + 2
         # raw panoptic maps travel as bitplanes: ids are <= n + 1, so
         # ceil(log2(n + 2)) planes of h*w/8 bytes each (5 bits/pixel at
@@ -192,8 +279,10 @@ class MaskRefinerPredictor:
         self._pan_bits = (n + 1).bit_length()
         self._pan_bytes = self._pan_bits * (h * w // 8)
         # RLE output budget: h*w/25 runs (~12k at 480x640) covers grouped
-        # panoptic maps with a wide margin; overflow falls back to the raw map
-        self.max_rle_runs = max(1024, (h * w) // 25)
+        # panoptic maps with a wide margin; overflow falls back to the raw
+        # map. Callers with known scene statistics can tighten it (the
+        # bench scene peaks ~4k runs) — D2H is the slow direction.
+        self.max_rle_runs = max_rle_runs or max(1024, (h * w) // 25)
         self._rle_bytes = 4 + 4 * self.max_rle_runs + 1 + 4 * self._scores_len
         # set when a whole streamed batch overflows the RLE run budget (the
         # model is producing fragmented maps, e.g. untrained weights): the
@@ -322,9 +411,40 @@ class MaskRefinerPredictor:
         buf[self._img_bytes + self._mask_bytes :] = np.packbits(valid)
         return buf
 
-    def _pack_inputs_rle(self, rgb_img, depth_img, perturbed_masks):
+    def _encode_rgb_nibbles(self, rgb_img):
+        """Planar first-difference 4-bit RGB codec (layout in __init__).
+
+        The planar (channel-major) mod-256 first difference of camera RGB
+        is dominated by small residuals; each travels as a signed nibble,
+        with nibble 0b1000 (-8) reserved as an escape marker whose full
+        residual byte is appended densely in scan order. Returns the
+        [n_esc u32 | nibbles 3hw/2 | esc u8 x max_rgb_esc] block, or None
+        when escapes exceed the budget (incompressible RGB)."""
+        rgbp = np.ascontiguousarray(
+            np.asarray(rgb_img, np.uint8).transpose(2, 0, 1)
+        ).reshape(-1)
+        delta = rgbp.copy()
+        delta[1:] -= rgbp[:-1]  # u8 wraparound == mod-256 residual
+        s = delta.view(np.int8)
+        esc = (s < -7) | (s > 7)
+        n_esc = int(esc.sum())
+        if n_esc > self.max_rgb_esc:
+            return None
+        nib = np.where(esc, np.uint8(8), delta & np.uint8(0xF))
+        block = np.zeros((self._rgb_codec_block,), np.uint8)
+        block[:4] = np.array([n_esc], np.uint32).view(np.uint8)
+        nbytes = nib.size // 2
+        block[4 : 4 + nbytes] = (nib[0::2] << 4) | nib[1::2]
+        block[4 + nbytes : 4 + nbytes + n_esc] = delta[esc]
+        return block
+
+    def _pack_inputs_rle(self, rgb_img, depth_img, perturbed_masks,
+                         rgb_codec: bool = False):
         """RLE input layout: [rgb | n_nz u32 | depth-delta pos u32 x D |
         depth-delta val u8 x D | starts u32 x R | ends u32 x R | valid].
+        With `rgb_codec`, the raw rgb block is replaced by the 4-bit
+        delta-codec block from _encode_rgb_nibbles (~0.6x the bytes for
+        camera-like RGB).
 
         Depth is delta-coded (first difference of the flattened mono map,
         mod 256) with only the nonzero deltas stored sparsely; the device
@@ -371,9 +491,17 @@ class MaskRefinerPredictor:
                 return None
         else:
             starts = ends = np.zeros((0,), np.int64)
-        buf = np.empty((self._in_bytes_rle,), np.uint8)
-        buf[: self._rgb_bytes] = np.asarray(rgb_img, np.uint8).reshape(-1)
-        o = self._rgb_bytes
+        if rgb_codec:
+            rgb_block = self._encode_rgb_nibbles(rgb_img)
+            if rgb_block is None:
+                return None
+            buf = np.empty((self._in_bytes_rlec,), np.uint8)
+            buf[: self._rgb_codec_block] = rgb_block
+            o = self._rgb_codec_block
+        else:
+            buf = np.empty((self._in_bytes_rle,), np.uint8)
+            buf[: self._rgb_bytes] = np.asarray(rgb_img, np.uint8).reshape(-1)
+            o = self._rgb_bytes
         buf[o : o + 4] = np.array([len(dpos)], np.uint32).view(np.uint8)
         dmax_arr = np.full((dmax,), h * w, np.uint32)  # sentinel: dropped
         dmax_arr[: len(dpos)] = dpos
@@ -391,13 +519,37 @@ class MaskRefinerPredictor:
         buf[o + 8 * r :] = np.packbits(valid)
         return buf
 
-    def _unpack_buf_rle(self, buf):
+    def _unpack_buf_rle(self, buf, rgb_codec: bool = False):
         cfg = self.config
         h, w, n = cfg.height, cfg.width, self.max_instances
         r = self.max_in_runs
         dmax = self.max_depth_nz
-        rgb = buf[: self._rgb_bytes].reshape(h, w, 3).astype(jnp.float32)
-        o = self._rgb_bytes
+        if rgb_codec:
+            # inverse of _encode_rgb_nibbles: nibbles -> signed residuals,
+            # escape positions recovered from the marker mask by prefix sum,
+            # pixels rebuilt with one planar mod-256 cumsum.
+            nbytes = (3 * h * w) // 2
+            nb = buf[4 : 4 + nbytes]
+            v = jnp.stack(
+                [(nb >> 4).astype(jnp.int32), (nb & 15).astype(jnp.int32)],
+                axis=-1,
+            ).reshape(-1)
+            s = jnp.where(v >= 8, v - 16, v)  # signed nibble in [-8, 7]
+            marker = s == -8
+            eidx = jnp.cumsum(marker.astype(jnp.int32)) - 1
+            evals = buf[4 + nbytes : 4 + nbytes + self.max_rgb_esc].astype(
+                jnp.int32
+            )
+            ev = evals[jnp.clip(eidx, 0, self.max_rgb_esc - 1)]
+            res = jnp.where(marker, ev, s & 0xFF)  # mod-256 residual
+            flat = jnp.cumsum(res) % 256
+            rgb = jnp.transpose(
+                flat.reshape(3, h, w), (1, 2, 0)
+            ).astype(jnp.float32)
+            o = self._rgb_codec_block
+        else:
+            rgb = buf[: self._rgb_bytes].reshape(h, w, 3).astype(jnp.float32)
+            o = self._rgb_bytes
         # depth: scatter the sparse mod-256 deltas, prefix-sum, wrap.
         # Padding entries carry index h*w (out of range) and drop.
         dpos = jax.lax.bitcast_convert_type(
@@ -505,13 +657,20 @@ class MaskRefinerPredictor:
             lambda i, m, v, e: self._pre_impl(params, i, m, v, enc=e)
         )(images, masks, valids, encs)
 
-    def _pipeline_packed_batch_impl(self, params, bufs, input_rle: bool = False):
+    def _unpack_for(self, input_rle):
+        """input_rle: False (dense), True (RLE, raw rgb), "codec" (RLE +
+        4-bit RGB codec)."""
+        if input_rle == "codec":
+            return partial(self._unpack_buf_rle, rgb_codec=True)
+        return self._unpack_buf_rle if input_rle else self._unpack_buf
+
+    def _pipeline_packed_batch_impl(self, params, bufs, input_rle=False):
         """Batched packed pipeline: vmapped pre/post stages around the
         natively-batched Pallas encode + grouping kernels."""
         from quber_tpu.ops.grouping import group_pixels
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
 
-        unpack = self._unpack_buf_rle if input_rle else self._unpack_buf
+        unpack = self._unpack_for(input_rle)
         pre = self._pre_batch(params, bufs, unpack)
         if self._use_pallas():
             raw = group_pixels_pallas_batched(
@@ -542,14 +701,14 @@ class MaskRefinerPredictor:
         ).reshape(-1)
         return jnp.concatenate([head, body, cnt, scores])
 
-    def _pipeline_packed_batch_rle_impl(self, params, bufs, input_rle: bool = False):
+    def _pipeline_packed_batch_rle_impl(self, params, bufs, input_rle=False):
         """Like _pipeline_packed_batch_impl but returns (rle u8 [B, rle_bytes],
         raw panoptic u8 [B, H*W]). The raw maps stay on device unless a
         frame's run count overflows the RLE budget."""
         from quber_tpu.ops.grouping import group_pixels
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
 
-        unpack = self._unpack_buf_rle if input_rle else self._unpack_buf
+        unpack = self._unpack_for(input_rle)
         pre = self._pre_batch(params, bufs, unpack)
         if self._use_pallas():
             raw = group_pixels_pallas_batched(
@@ -687,13 +846,15 @@ class MaskRefinerPredictor:
                 f"batch_size {batch_size} must divide over the {n_dev}-device mesh"
             )
 
-        def pipe(rle_out: bool, rle_in: bool):
+        def pipe(rle_out: bool, rle_in):
             if mesh is None:
                 return {
                     (False, False): self._pipeline_packed_batch,
                     (True, False): self._pipeline_packed_batch_rle,
                     (False, True): self._pipeline_rlein_batch,
                     (True, True): self._pipeline_rlein_batch_rle,
+                    (False, "codec"): self._pipeline_rlecin_batch,
+                    (True, "codec"): self._pipeline_rlecin_batch_rle,
                 }[(rle_out, rle_in)]
             cache = self.__dict__.setdefault("_sharded_pipes", {})
             key = (mesh, rle_out, rle_in)
@@ -705,21 +866,54 @@ class MaskRefinerPredictor:
 
         def pack_batch(batch):
             """Host-side stage: pack a batch into one stacked uint8 buffer.
-            Returns (rle_in, stacked [B, bytes], real)."""
+            Returns (rle_in mode, stacked [B, bytes], real)."""
             real = len(batch)
             batch = batch + [batch[0]] * (batch_size - real)
             if input_rle:
+                try_codec = self._rgb_codec_ok
+                if try_codec:
+                    packed = [
+                        self._pack_inputs_rle(*f, rgb_codec=True) for f in batch
+                    ]
+                    if all(p is not None for p in packed):
+                        return "codec", np.stack(packed), real
                 packed = [self._pack_inputs_rle(*f) for f in batch]
                 if all(p is not None for p in packed):
+                    if try_codec:
+                        # masks/depth fit but RGB escapes overflowed: this
+                        # stream's RGB is incompressible, stop attempting
+                        self._rgb_codec_ok = False
                     return True, np.stack(packed), real
             # dense fallback: a frame's masks exceeded the input run budget
             return False, np.stack([self._pack_inputs(*f) for f in batch]), real
 
+        # per-send stream-count adaptation: on unless the caller pinned a
+        # count via QUBER_H2D_STREAMS, and only for payloads big enough
+        # that the feedback fence (one small D2H round trip) is noise
+        env_streams = os.environ.get("QUBER_H2D_STREAMS", "auto")
+        tuner = self.__dict__.setdefault("_h2d_tuner", _H2DTuner())
+
         def send_batch(staged):
             """Transport + dispatch stage: H2D the stacked buffer (split
-            across 2 concurrent streams) and launch the jitted pipeline."""
+            across concurrent streams, count tuned online) and launch the
+            jitted pipeline."""
             rle_in, stacked, real = staged
-            bufs = device_put_split(stacked)
+            if env_streams == "auto" and stacked.nbytes >= (4 << 20):
+                count = tuner.pick()
+                t0 = time.time()
+                bufs = device_put_split(stacked, streams=count)
+                # fence + bandwidth report off the critical path: the next
+                # send may start while this transfer's tail drains (the
+                # link stays busy; the EMA absorbs the timing overlap)
+                def _report(bufs=bufs, count=count, t0=t0, nb=stacked.nbytes):
+                    try:
+                        transport_fence(bufs)
+                        tuner.report(count, nb / 1e6 / (time.time() - t0))
+                    except Exception:
+                        pass  # fence is advisory; never kill the stream
+                threading.Thread(target=_report, daemon=True).start()
+            else:
+                bufs = device_put_split(stacked)
             return mode["rle"], pipe(mode["rle"], rle_in)(self.params, bufs), real
 
         def flush(batch):

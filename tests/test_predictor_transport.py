@@ -198,6 +198,58 @@ def test_aot_export_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_rgb_nibble_codec_roundtrip_and_fallback(rng):
+    # camera-like RGB (smooth signal + small sensor noise) travels through
+    # the 4-bit delta codec exactly; full-entropy RGB overflows the escape
+    # budget and the stream falls back to the raw-RGB RLE layout, setting
+    # the sticky skip flag
+    import jax
+
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    ys, xs = np.mgrid[:h, :w]
+    rgb = np.clip(
+        np.stack([60 + ys * 0.3, 90 + xs * 0.2, 120 + 0.0 * ys], -1)
+        + rng.randn(h, w, 3) * 2,
+        0, 255,
+    ).astype(np.uint8)
+    depth = np.clip(60 + 120 * ys / h, 0, 255).astype(np.uint8)
+    masks = [(ys - 30) ** 2 + (xs - 30) ** 2 <= 100]
+
+    buf = predictor._pack_inputs_rle(rgb, depth, masks, rgb_codec=True)
+    assert buf is not None and buf.size == predictor._in_bytes_rlec
+    assert predictor._in_bytes_rlec < predictor._in_bytes_rle
+    image, dmasks, _ = jax.jit(
+        lambda b: predictor._unpack_buf_rle(b, rgb_codec=True)
+    )(jnp.asarray(buf))
+    np.testing.assert_array_equal(np.asarray(image)[..., :3], rgb.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(image)[..., 3], depth.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(dmasks)[0], masks[0])
+
+    # end-to-end parity: codec stream == dense-input stream
+    frames = [(rgb, depth, masks)] * 3
+    a = list(predictor.predict_batch_stream(frames, batch_size=2, input_rle=False))
+    b = list(predictor.predict_batch_stream(frames, batch_size=2, input_rle=True))
+    assert predictor._rgb_codec_ok  # codec path was used, no fallback
+    for (p1, c1, s1), (p2, c2, s2) in zip(a, b):
+        np.testing.assert_array_equal(p1, p2)
+        assert c1 == c2
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    # incompressible RGB: per-frame overflow -> raw-RGB layout + sticky skip
+    noise = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    assert predictor._pack_inputs_rle(noise, depth, masks, rgb_codec=True) is None
+    frames_n = [(noise, depth, masks)] * 3
+    c = list(predictor.predict_batch_stream(frames_n, batch_size=2, input_rle=True))
+    assert not predictor._rgb_codec_ok
+    d = list(predictor.predict_batch_stream(frames_n, batch_size=2, input_rle=False))
+    for (p1, c1, s1), (p2, c2, s2) in zip(c, d):
+        np.testing.assert_array_equal(p1, p2)
+        assert c1 == c2
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
 def test_depth_delta_codec_and_bitplane_roundtrip(rng):
     # depth travels delta-coded (sparse mod-256 nonzeros) and the raw
     # panoptic map travels as bitplanes; both must round-trip exactly
