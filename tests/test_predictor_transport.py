@@ -250,6 +250,37 @@ def test_rgb_nibble_codec_roundtrip_and_fallback(rng):
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
 
+def test_staged_stream_matches_host_stream(rng):
+    # stage_frames + predict_batch_stream_staged (HBM-resident inputs, the
+    # benchmark's timed path) must produce exactly what the host-streaming
+    # path produces, including the padded last partial batch
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    ys, xs = np.mgrid[:h, :w]
+    frames = []
+    for i in range(5):  # batch_size 2 -> last batch is padded
+        rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        depth = np.clip(40 + 150 * ys / h + i, 0, 255).astype(np.uint8)
+        masks = [(ys - 20 - 3 * i) ** 2 + (xs - 30) ** 2 <= 80 + 10 * i]
+        frames.append((rgb, depth, masks))
+
+    a = list(predictor.predict_batch_stream(frames, batch_size=2,
+                                            use_rle=False))
+    staged = predictor.stage_frames(frames, batch_size=2)
+    b = list(predictor.predict_batch_stream_staged(staged, use_rle=False))
+    assert len(a) == len(b) == 5
+    for (p1, c1, s1), (p2, c2, s2) in zip(a, b):
+        np.testing.assert_array_equal(p1, p2)
+        assert c1 == c2
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    # staged batches are reusable: a second pass gives identical results
+    c = list(predictor.predict_batch_stream_staged(staged, use_rle=False))
+    for (p1, _, _), (p2, _, _) in zip(b, c):
+        np.testing.assert_array_equal(p1, p2)
+
+
 def test_depth_delta_codec_and_bitplane_roundtrip(rng):
     # depth travels delta-coded (sparse mod-256 nonzeros) and the raw
     # panoptic map travels as bitplanes; both must round-trip exactly
