@@ -43,7 +43,11 @@ def main():
 
     enable_compilation_cache()  # warm runs skip the ~2x45 s pipeline compiles
 
-    cfg = MaskRefinerConfig(dtype="bfloat16")
+    # top_k_instances (center candidates kept by the NMS top-k) sized to the
+    # instance budget instead of the reference's 200 default: identical
+    # outputs whenever fewer than 24 centers clear the threshold (true for
+    # tabletop scenes), and the grouping kernel + score tables scale with it
+    cfg = MaskRefinerConfig(dtype="bfloat16", top_k_instances=24)
     # trained weights when available (the production serving path: coherent
     # panoptic maps keep the smaller RLE output on); random init otherwise —
     # throughput is weight-independent, only the output-path choice differs
