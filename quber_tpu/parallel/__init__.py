@@ -1,3 +1,9 @@
-from quber_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from quber_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    put_batch,
+    replicate,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "make_mesh_2d", "put_batch", "replicate", "shard_batch"]

@@ -116,6 +116,36 @@ def test_multichip_dp_step(rng):
         assert float(metrics[k]) == pytest.approx(float(metrics1[k]), rel=1e-3), k
 
 
+def test_multichip_spatial_step(rng):
+    # 4x2 data x space mesh: batch over "data", image HEIGHT over "space".
+    # XLA's SPMD partitioner splits every conv spatially and inserts the halo
+    # exchanges itself — the step function is identical to the DP one, only
+    # the PartitionSpecs differ (parallel/mesh.py make_mesh_2d). Correctness
+    # bar: same metrics as the unsharded 1-device step on the same batch.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from quber_tpu.parallel.mesh import make_mesh_2d
+
+    model_cfg, train_cfg = tiny_cfgs(batch=4)
+    model_cfg = dataclasses.replace(model_cfg, resnet_depth=14)
+    state, tx = create_train_state(model_cfg, train_cfg)
+    mesh = make_mesh_2d(jax.devices()[:8], space=2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    step = make_train_step(model_cfg, train_cfg, tx, mesh, donate=False)
+    host_batch = tiny_batch(rng, 4, 32, 32)
+    batch = put_batch(host_batch, mesh)
+    # every rank>=2 leaf really is split over both axes
+    assert batch["image"].sharding.spec == ("data", "space")
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    step1 = make_train_step(model_cfg, train_cfg, tx, mesh1, donate=False)
+    state1, _ = create_train_state(model_cfg, train_cfg)
+    _, metrics1 = step1(state1, put_batch(host_batch, mesh1), jax.random.PRNGKey(0))
+    for k in metrics:
+        assert float(metrics[k]) == pytest.approx(float(metrics1[k]), rel=1e-3), k
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     from quber_tpu.train.checkpoint import restore_state, save_state
 

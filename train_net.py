@@ -110,6 +110,10 @@ def main():
                         help="instance-slot bound for --device-targets")
     parser.add_argument("--workers", type=int, default=0,
                         help="grain prefetch workers (0 = in-process loader)")
+    parser.add_argument("--space", type=int, default=1,
+                        help="spatial-partition factor: shard image height "
+                        "over a second mesh axis (data x space); XLA inserts "
+                        "the conv halo exchanges (parallel/mesh.make_mesh_2d)")
     parser.add_argument("--no-data-device-cache", action="store_true",
                         help="disable the device-resident packed-sample pool "
                              "for --synthetic --device-targets runs (the pool "
@@ -168,7 +172,17 @@ def main():
 
         mapper = PackedMapper(train_cfg, model_cfg, n_slots=args.target_slots)
 
-    mesh = make_mesh()
+    if args.space > 1:
+        if args.device_targets:
+            # the packed-buffer path carries flat byte samples [B, nbytes];
+            # height sharding only applies once targets are unpacked, so the
+            # two features are mutually exclusive
+            raise SystemExit("--space is incompatible with --device-targets")
+        from quber_tpu.parallel.mesh import make_mesh_2d
+
+        mesh = make_mesh_2d(space=args.space)
+    else:
+        mesh = make_mesh()
     print(f"mesh: {mesh}; devices: {jax.devices()}")
     state, tx = create_train_state(model_cfg, train_cfg)
     if args.resume:
