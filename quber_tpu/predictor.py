@@ -66,6 +66,35 @@ def device_put_split(arr: np.ndarray, min_bytes: int = 4 << 20,
     return jnp.concatenate(out, axis=0)
 
 
+def device_get_split(arr: jnp.ndarray, min_bytes: int = 1 << 20,
+                     streams: int | None = None) -> np.ndarray:
+    """Read a device array back as `streams` concurrent D2H transfers.
+
+    The tunneled transport's D2H direction is one latency-limited TCP
+    stream (~27 MB/s); concurrent reads of row slices claim a larger fair
+    share (~42 MB/s at 8 streams, measured). Small arrays go as one read.
+    On a directly-attached TPU the split costs one extra device slice per
+    stream against a >= 16 GB/s PCIe readback — noise."""
+    if streams is None:
+        env = os.environ.get("QUBER_D2H_STREAMS", "6")
+        streams = int(env) if env.isdigit() else 6
+    if arr.nbytes < min_bytes or arr.shape[0] < streams or streams <= 1:
+        return np.asarray(arr)
+    bounds = np.linspace(0, arr.shape[0], streams + 1).astype(int)
+    parts = [None] * streams
+
+    def get(i):
+        parts[i] = np.asarray(arr[bounds[i]:bounds[i + 1]])
+
+    ts = [threading.Thread(target=get, args=(i,)) for i in range(1, streams)]
+    for t in ts:
+        t.start()
+    get(0)
+    for t in ts:
+        t.join()
+    return np.concatenate(parts)
+
+
 class _H2DTuner:
     """Online H2D stream-count tuner for the tunneled-TPU transport.
 
@@ -220,6 +249,12 @@ class MaskRefinerPredictor:
         self._pipeline_rlecin_batch_rle = jax.jit(
             partial(self._pipeline_packed_batch_rle_impl, input_rle="codec")
         )
+        self._pipeline_dense_batch = jax.jit(self._pipeline_dense_batch_impl)
+        self._pipeline_dense_batch_rle = jax.jit(
+            self._pipeline_dense_batch_rle_impl
+        )
+        # jitted per-input-layout batch decoders for stage_frames(decode=True)
+        self._staged_decoders: dict = {}
         # packed-buffer layout (see _pack_inputs): rgb + MONO depth (the
         # reference pipeline's depth is always 3 replicated channels,
         # eval/preprocess_utils.py:12-28 normalize_depth) + bitpacked masks
@@ -638,6 +673,12 @@ class MaskRefinerPredictor:
         encode kernel (a straight vmap of the single-frame pipeline produces
         unsupported Pallas block shapes)."""
         images, masks, valids = jax.vmap(unpack)(bufs)
+        return self._pre_batch_tensors(params, images, masks, valids)
+
+    def _pre_batch_tensors(self, params, images, masks, valids):
+        """Pre stages (encode -> forward -> center NMS) on already-dense
+        batch tensors: images [B,H,W,6] f32, masks [B,N,H,W] bool,
+        valids [B,N] bool."""
         encs = None
         if self._use_pallas():
             from quber_tpu.ops.encoding import instance_stats
@@ -664,24 +705,50 @@ class MaskRefinerPredictor:
             return partial(self._unpack_buf_rle, rgb_codec=True)
         return self._unpack_buf_rle if input_rle else self._unpack_buf
 
-    def _pipeline_packed_batch_impl(self, params, bufs, input_rle=False):
-        """Batched packed pipeline: vmapped pre/post stages around the
-        natively-batched Pallas encode + grouping kernels."""
+    def _group_batch(self, pre):
         from quber_tpu.ops.grouping import group_pixels
         from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
 
+        if self._use_pallas():
+            return group_pixels_pallas_batched(
+                pre["centers"], pre["centers_valid"], pre["offset"]
+            )
+        return jax.vmap(group_pixels)(
+            pre["centers"], pre["centers_valid"], pre["offset"]
+        )
+
+    def _pipeline_packed_batch_impl(self, params, bufs, input_rle=False):
+        """Batched packed pipeline: vmapped pre/post stages around the
+        natively-batched Pallas encode + grouping kernels."""
         unpack = self._unpack_for(input_rle)
         pre = self._pre_batch(params, bufs, unpack)
-        if self._use_pallas():
-            raw = group_pixels_pallas_batched(
-                pre["centers"], pre["centers_valid"], pre["offset"]
-            )
-        else:
-            raw = jax.vmap(group_pixels)(
-                pre["centers"], pre["centers_valid"], pre["offset"]
-            )
+        raw = self._group_batch(pre)
         outs = jax.vmap(self._post_impl)(pre, raw)
         return jax.vmap(self._pack_out)(outs)
+
+    def _pipeline_dense_batch_impl(self, params, tensors):
+        """Batched pipeline over pre-decoded HBM-resident tensors
+        (stage_frames(decode=True)): skips the device-side input codecs
+        entirely — on a PCIe-attached host dense frames DMA in directly, so
+        serving from decoded tensors is the production schedule and saves
+        the per-batch decode pass (~40% of pipeline time at 480x640 b16)."""
+        images, masks, valids = tensors
+        pre = self._pre_batch_tensors(params, images, masks, valids)
+        raw = self._group_batch(pre)
+        outs = jax.vmap(self._post_impl)(pre, raw)
+        return jax.vmap(self._pack_out)(outs)
+
+    def _pipeline_dense_batch_rle_impl(self, params, tensors):
+        """Dense-input variant of _pipeline_packed_batch_rle_impl."""
+        images, masks, valids = tensors
+        pre = self._pre_batch_tensors(params, images, masks, valids)
+        raw = self._group_batch(pre)
+        outs = jax.vmap(self._post_impl)(pre, raw)
+        rle = jax.vmap(self._pack_out_rle)(outs)
+        pan_raw = jax.vmap(
+            lambda o: self._pack_pan_planes(o["panoptic_seg"].reshape(-1))
+        )(outs)
+        return rle, pan_raw
 
     def _pack_out_rle(self, out):
         """[n_runs u32 | runs u32 x max_rle_runs | count u8 | scores f32],
@@ -705,19 +772,9 @@ class MaskRefinerPredictor:
         """Like _pipeline_packed_batch_impl but returns (rle u8 [B, rle_bytes],
         raw panoptic u8 [B, H*W]). The raw maps stay on device unless a
         frame's run count overflows the RLE budget."""
-        from quber_tpu.ops.grouping import group_pixels
-        from quber_tpu.ops.pallas_kernels import group_pixels_pallas_batched
-
         unpack = self._unpack_for(input_rle)
         pre = self._pre_batch(params, bufs, unpack)
-        if self._use_pallas():
-            raw = group_pixels_pallas_batched(
-                pre["centers"], pre["centers_valid"], pre["offset"]
-            )
-        else:
-            raw = jax.vmap(group_pixels)(
-                pre["centers"], pre["centers_valid"], pre["offset"]
-            )
+        raw = self._group_batch(pre)
         outs = jax.vmap(self._post_impl)(pre, raw)
         rle = jax.vmap(self._pack_out_rle)(outs)
         pan_raw = jax.vmap(
@@ -781,26 +838,32 @@ class MaskRefinerPredictor:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from jax import shard_map
 
-        if use_rle:
+        if input_rle == "dense":
+            impl = (self._pipeline_dense_batch_rle_impl if use_rle
+                    else self._pipeline_dense_batch_impl)
+        elif use_rle:
             impl = partial(self._pipeline_packed_batch_rle_impl, input_rle=input_rle)
         else:
             impl = partial(self._pipeline_packed_batch_impl, input_rle=input_rle)
         axis = mesh.axis_names[0]
+        in_spec = ((P(axis), P(axis), P(axis)) if input_rle == "dense"
+                   else P(axis))
         fn = shard_map(
             impl, mesh=mesh,
-            in_specs=(P(), P(axis)),
+            in_specs=(P(), in_spec),
             out_specs=(P(axis), P(axis)) if use_rle else P(axis),
             # the pipeline is purely per-frame (no cross-device collectives);
             # varying-axis inference trips on scan carries initialized from
             # literals, so skip it
             check_vma=False,
         )
+        in_shard = (
+            tuple(NamedSharding(mesh, P(axis)) for _ in range(3))
+            if input_rle == "dense" else NamedSharding(mesh, P(axis))
+        )
         return jax.jit(
             fn,
-            in_shardings=(
-                NamedSharding(mesh, P()),
-                NamedSharding(mesh, P(axis)),
-            ),
+            in_shardings=(NamedSharding(mesh, P()), in_shard),
         )
 
     def _pipe_for(self, rle_out: bool, rle_in, mesh=None):
@@ -814,6 +877,8 @@ class MaskRefinerPredictor:
                 (True, True): self._pipeline_rlein_batch_rle,
                 (False, "codec"): self._pipeline_rlecin_batch,
                 (True, "codec"): self._pipeline_rlecin_batch_rle,
+                (False, "dense"): self._pipeline_dense_batch,
+                (True, "dense"): self._pipeline_dense_batch_rle,
             }[(rle_out, rle_in)]
         cache = self.__dict__.setdefault("_sharded_pipes", {})
         key = (mesh, rle_out, rle_in)
@@ -853,14 +918,14 @@ class MaskRefinerPredictor:
         was_rle, out, real = pending
         if was_rle:
             rle, raw = out
-            host = np.asarray(rle)
+            host = device_get_split(rle)
             # If any frame overflowed the RLE run budget, fetch the raw
             # maps for the WHOLE batch in one bulk D2H: per-frame raw
             # fetches fall below the transport's bulk-transfer threshold
             # and cost ~10x more than one batched readback.
             n_runs = host[:real, :4].copy().view(np.uint32)[:, 0]
             overflow = n_runs > self.max_rle_runs
-            raw_host = np.asarray(raw) if overflow.any() else None
+            raw_host = device_get_split(raw) if overflow.any() else None
             if overflow.all() and not forced:
                 # fragmented outputs: every frame pays RLE + raw D2H.
                 # Switch the rest of this stream (and future auto-mode
@@ -872,11 +937,12 @@ class MaskRefinerPredictor:
                     host[i], lambda i=i: raw_host[i]
                 )
         else:
-            host = np.asarray(out)
+            host = device_get_split(out)
             for i in range(real):
                 yield self._unpack_outputs(host[i])
 
-    def stage_frames(self, frames, batch_size: int = 8, input_rle=True):
+    def stage_frames(self, frames, batch_size: int = 8, input_rle=True,
+                     decode: bool = True):
         """Pack frames into device-resident batch buffers ahead of serving.
 
         Production serving on a real TPU host stages inputs in HBM while the
@@ -889,13 +955,33 @@ class MaskRefinerPredictor:
         otherwise dominate all measurement. Returns a list of staged batches
         for predict_batch_stream_staged; the transfer is fenced, so staged
         buffers are resident in HBM when this returns.
+
+        With `decode` (default), each staged batch is decoded ONCE into
+        dense tensors (images f32, masks bool, valids) at staging time, so
+        serving skips the device-side input codecs — the schedule of a
+        PCIe-attached host, which DMAs dense frames directly (the packed
+        layouts exist for the slow tunneled link, and their decode costs as
+        much as the backbone at 480x640 b16). ~2.3 MB HBM per frame.
+        `decode=False` keeps packed buffers resident and decodes per serve
+        (less HBM; exercises the transport-codec path end to end).
         """
         staged = []
         batch = []
 
         def flush(b):
             rle_in, stacked, real = self._pack_batch(b, batch_size, input_rle)
-            staged.append((rle_in, device_put_split(stacked), real))
+            bufs = device_put_split(stacked)
+            if decode:
+                if rle_in not in self._staged_decoders:
+                    unpack = self._unpack_for(rle_in)
+                    self._staged_decoders[rle_in] = jax.jit(
+                        lambda bs, u=unpack: jax.vmap(u)(bs)
+                    )
+                staged.append(
+                    ("dense", self._staged_decoders[rle_in](bufs), real)
+                )
+            else:
+                staged.append((rle_in, bufs, real))
 
         for frame in frames:
             batch.append(frame)
@@ -905,7 +991,7 @@ class MaskRefinerPredictor:
         if batch:
             flush(batch)
         for _, bufs, _ in staged:
-            transport_fence(bufs)
+            transport_fence(jax.tree.leaves(bufs)[0])
         return staged
 
     def predict_batch_stream_staged(self, staged, use_rle: bool | None = None,
@@ -920,7 +1006,7 @@ class MaskRefinerPredictor:
         if not staged:
             return
         forced = use_rle is not None
-        batch_size = int(staged[0][1].shape[0])
+        batch_size = int(jax.tree.leaves(staged[0][1])[0].shape[0])
         mode = {
             "rle": use_rle if forced else (
                 batch_size * self._rle_bytes >= 320_000
