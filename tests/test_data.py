@@ -193,3 +193,44 @@ def test_instance_registrations_and_loader(tmp_path):
     assert r["annotations"][0]["category_id"] == 0  # remapped contiguous
     assert r["annotations"][0]["bbox"] == [1, 1, 3, 3]
     assert r["perturbed_segmentation"] and r["tp_mask"]["counts"] == "44"
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    # int8 release artifact (tools/quantize_checkpoint.py): large floating
+    # leaves survive per-channel quantization within 1/127 of their channel
+    # max; small leaves and non-float leaves pass through bit-exact
+    import numpy as np
+
+    from quber_tpu.train.checkpoint import (
+        load_quantized_params,
+        save_quantized_params,
+    )
+
+    rng = np.random.RandomState(0)
+    variables = {
+        "params": {
+            "conv": {"kernel": rng.randn(3, 3, 64, 32).astype(np.float32),
+                     "bias": rng.randn(32).astype(np.float32)},
+            "norm": {"scale": rng.rand(8).astype(np.float32)},
+        },
+        "batch_stats": {"mean": rng.randn(70, 70).astype(np.float32)},
+        "meta": {"step": np.int32(7)},
+    }
+    path = str(tmp_path / "q.npz")
+    save_quantized_params(path, variables)
+    re = load_quantized_params(path)
+
+    k, k2 = variables["params"]["conv"]["kernel"], re["params"]["conv"]["kernel"]
+    cmax = np.abs(k).max(axis=(0, 1, 2))
+    assert np.all(np.abs(k - k2) <= cmax / 127 * 0.5 + 1e-7)
+    # small/non-float leaves are exact
+    np.testing.assert_array_equal(variables["params"]["conv"]["bias"],
+                                  re["params"]["conv"]["bias"])
+    np.testing.assert_array_equal(variables["params"]["norm"]["scale"],
+                                  re["params"]["norm"]["scale"])
+    assert re["meta"]["step"] == 7
+    # the big 2-D leaf was actually quantized (4x smaller than f32)
+    m, m2 = variables["batch_stats"]["mean"], re["batch_stats"]["mean"]
+    assert not np.array_equal(m, m2)
+    col_max = np.abs(m).max(axis=0)
+    assert np.all(np.abs(m - m2) <= col_max / 127 * 0.5 + 1e-7)
