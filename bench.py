@@ -13,10 +13,12 @@ DISTINCT rendered scenes served in batches of 16 with the production
 (predictor.stage_frames): on a real TPU host input H2D rides PCIe at
 >= 16 GB/s — under 0.1 ms for a packed frame, two orders of magnitude below
 frame time — and the reference's own timing semantics likewise include only
-a negligible PCIe copy (eval/refiner_model.py:265-278). This dev host reaches
-its chip through a tunneled transport whose bandwidth swings 8-72 MB/s hour
-to hour; timing host->device streaming through it would benchmark the
-tunnel, not the chip. The streaming-from-host path is still exercised and
+a negligible PCIe copy (eval/refiner_model.py:265-278). Staged batches are
+decoded to dense tensors at staging time (stage_frames(decode=True)): a PCIe
+host DMAs dense frames directly, so the tunnel-only input codecs stay out of
+the timed region. This dev host reaches its chip through a tunneled
+transport whose bandwidth swings 8-72 MB/s hour to hour; timing
+host->device streaming through it would benchmark the tunnel, not the chip. The streaming-from-host path is still exercised and
 reported in the JSON as `streaming_fps` (one trial, link-dependent), along
 with the link state the online tuner observed.
 

@@ -232,7 +232,10 @@ class MaskRefinerPredictor:
                 jnp.zeros((1, 64, 64, self.config.num_input_channels - 3 * self.config.offset_input_on)),
                 jnp.zeros((1, 64, 64, 3)) if self.config.offset_input_on else None,
             )
-        self.params = params
+        # device-put once: params arriving as host numpy (e.g. the int8 npz
+        # loader) would otherwise re-upload the full ~330 MB tree on EVERY
+        # jitted call — jit only caches transfers of jax.Arrays
+        self.params = jax.tree.map(jnp.asarray, params)
         self._pipeline = jax.jit(self._pipeline_impl)
         self._pipeline_packed = jax.jit(self._pipeline_packed_impl)
         self._pipeline_packed_batch = jax.jit(self._pipeline_packed_batch_impl)
@@ -961,7 +964,9 @@ class MaskRefinerPredictor:
         serving skips the device-side input codecs — the schedule of a
         PCIe-attached host, which DMAs dense frames directly (the packed
         layouts exist for the slow tunneled link, and their decode costs as
-        much as the backbone at 480x640 b16). ~2.3 MB HBM per frame.
+        much as the backbone at 480x640 b16). ~15 MB HBM per staged frame
+        (f32 image + bool mask stack) — bounded in production by the frames
+        actually in flight, not the stream length.
         `decode=False` keeps packed buffers resident and decodes per serve
         (less HBM; exercises the transport-codec path end to end).
         """

@@ -159,3 +159,37 @@ def test_fg_overlap_filter(rng, blobs):
     pan3, n3 = G.fg_overlap_filter(out["panoptic"], out["num_instances"], jnp.zeros_like(jnp.asarray(fg)))
     assert int(n3) == 0
     assert np.all(np.asarray(pan3) == 0)
+
+
+def test_topk_2stage_matches_lax_topk():
+    # segment-preselected exact top-k: same value multiset as lax.top_k and
+    # the same survivor SET under find_instance_centers' "> bound" rule,
+    # including boundary ties and duplicate values across segments
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from quber_tpu.ops.grouping import _topk_2stage
+
+    rng = np.random.RandomState(3)
+    n, k = 512 * 40, 24
+    cases = []
+    x = np.full(n, -1.0, np.float32)
+    pk = rng.choice(n, 60, replace=False)
+    x[pk] = rng.rand(60).astype(np.float32)
+    cases.append(x)  # sparse peaks, typical NMS output
+    y = x.copy()
+    y[pk[:30]] = 0.5  # heavy ties, some on the k-th boundary
+    cases.append(y)
+    z = np.full(n, -1.0, np.float32)
+    z[:200] = rng.rand(200).astype(np.float32)  # all peaks in few segments
+    cases.append(z)
+    cases.append(np.full(n, -1.0, np.float32))  # no peaks at all
+    for x in cases:
+        vr, ir = lax.top_k(jnp.asarray(x), k)
+        v2, i2 = _topk_2stage(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(vr), np.asarray(v2))
+        bound = max(float(vr[k - 1]), 0.0)
+        keep_ref = sorted(int(i) for v, i in zip(vr, ir) if float(v) > bound)
+        keep_2st = sorted(int(i) for v, i in zip(v2, i2) if float(v) > bound)
+        assert keep_ref == keep_2st
