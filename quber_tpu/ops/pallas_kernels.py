@@ -185,6 +185,17 @@ def encode_initial_masks_pallas(
     sy = float(h) if normalize else 1.0
     sx = float(w) if normalize else 1.0
 
+    # pad the instance dim to a sublane multiple: the kernel reduces over
+    # axis 0 of (N, TILE) registers, and Mosaic pads partial sublane tiles
+    # with UNINITIALIZED rows (padded rows here carry mask 0 / penalty inf,
+    # so they are inert in every reduction)
+    npad = (-n) % 8
+    if npad:
+        masks = jnp.pad(masks, ((0, npad), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, (0, npad))
+        centers = jnp.pad(centers, ((0, npad), (0, 0)))
+        n += npad
+
     m8 = masks.reshape(n, hw).astype(jnp.int8)
     pad = (-hw) % TILE
     m8 = jnp.pad(m8, ((0, 0), (0, pad)))
@@ -198,41 +209,42 @@ def encode_initial_masks_pallas(
     rx = jnp.round(cx)
     pen = jnp.where(ok, 0.0, jnp.inf).astype(jnp.float32)
     okf = ok.astype(jnp.float32)
-    # scalar tables ride in SMEM as [N]
-    tables = (cy, cx, ry, rx, pen, okf)
+    # per-instance tables ride in VMEM as [N, 1] columns so the kernel body
+    # broadcasts them against the pixel tile: one (N, TILE) vector pass
+    # replaces the N-iteration scalar loop (~3x on the VPU)
+    tables = tuple(t.reshape(n, 1) for t in (cy, cx, ry, rx, pen, okf))
 
     def kernel(cy_ref, cx_ref, ry_ref, rx_ref, pen_ref, ok_ref, m_ref, out_ref):
         t = pl.program_id(0)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0] + t * TILE
-        y = (idx // w).astype(jnp.float32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1) + t * TILE
+        y = (idx // w).astype(jnp.float32)  # (1, TILE)
         x = (idx % w).astype(jnp.float32)
-        d2min = jnp.full((TILE,), jnp.inf, jnp.float32)
-        cy_sel = jnp.zeros((TILE,), jnp.float32)
-        cx_sel = jnp.zeros((TILE,), jnp.float32)
-        owned = jnp.zeros((TILE,), jnp.bool_)
-        for k in range(n):
-            # scalar-bool & vector-bool trips a Mosaic relayout; gate the
-            # int8 row by the validity scalar in float instead
-            mk = m_ref[k, :].astype(jnp.float32) * ok_ref[k] > 0
-            cy_sel = jnp.where(mk, cy_ref[k], cy_sel)
-            cx_sel = jnp.where(mk, cx_ref[k], cx_sel)
-            owned = owned | mk
-            dy = y - ry_ref[k]
-            dx = x - rx_ref[k]
-            d2 = dy * dy + dx * dx + pen_ref[k]
-            outside = (jnp.abs(dy) > lim) | (jnp.abs(dx) > lim)
-            d2min = jnp.minimum(d2min, jnp.where(outside, jnp.inf, d2))
+        mk = m_ref[...].astype(jnp.float32) * ok_ref[...]  # (N, TILE)
+        dy = y - ry_ref[...]
+        dx = x - rx_ref[...]
+        d2 = dy * dy + dx * dx + pen_ref[...]
+        outside = (jnp.abs(dy) > lim) | (jnp.abs(dx) > lim)
+        d2min = jnp.min(jnp.where(outside, jnp.inf, d2), axis=0)  # (TILE,)
+        # last-wins owner (reference paint order): highest masked row index,
+        # via max over (k+1) * covered; exact in f32 for any sane N
+        krank = (jax.lax.broadcasted_iota(jnp.int32, (n, TILE), 0)
+                 + 1).astype(jnp.float32)  # Mosaic: iota must be int
+        rank = jnp.max(jnp.where(mk > 0, krank, 0.0), axis=0)  # (TILE,)
+        owned = rank > 0
+        onehot = krank == rank[None, :]  # true at exactly row rank-1
+        cy_sel = jnp.sum(jnp.where(onehot, cy_ref[...], 0.0), axis=0)
+        cx_sel = jnp.sum(jnp.where(onehot, cx_ref[...], 0.0), axis=0)
         out_ref[0, :] = jnp.where(
             jnp.isfinite(d2min), jnp.exp(-d2min * inv2s2), 0.0
         )
-        out_ref[1, :] = jnp.where(owned, (cy_sel - y) / sy, 0.0)
-        out_ref[2, :] = jnp.where(owned, (cx_sel - x) / sx, 0.0)
+        out_ref[1, :] = jnp.where(owned, (cy_sel - y[0]) / sy, 0.0)
+        out_ref[2, :] = jnp.where(owned, (cx_sel - x[0]) / sx, 0.0)
 
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    col = lambda: pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     enc = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
+        in_specs=[col(), col(), col(), col(), col(), col(),
                   pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, hw + pad), jnp.float32),
@@ -262,6 +274,14 @@ def encode_initial_masks_pallas_batched(
     sy = float(h) if normalize else 1.0
     sx = float(w) if normalize else 1.0
 
+    # sublane-pad the instance dim (see the single-frame kernel)
+    npad = (-n) % 8
+    if npad:
+        masks = jnp.pad(masks, ((0, 0), (0, npad), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, npad)))
+        centers = jnp.pad(centers, ((0, 0), (0, npad), (0, 0)))
+        n += npad
+
     m8 = masks.reshape(b, n, hw).astype(jnp.int8)
     pad = (-hw) % TILE
     m8 = jnp.pad(m8, ((0, 0), (0, 0), (0, pad)))
@@ -274,41 +294,39 @@ def encode_initial_masks_pallas_batched(
     rx = jnp.round(cx)
     pen = jnp.where(ok, 0.0, jnp.inf).astype(jnp.float32)
     okf = ok.astype(jnp.float32)
-    tables = (cy, cx, ry, rx, pen, okf)  # each [B, N] in SMEM
+    # per-batch [N, 1] table columns in VMEM (see the single-frame kernel)
+    tables = tuple(t.reshape(b, n, 1) for t in (cy, cx, ry, rx, pen, okf))
 
     def kernel(cy_ref, cx_ref, ry_ref, rx_ref, pen_ref, ok_ref, m_ref, out_ref):
-        bi = pl.program_id(0) // tpb
         t = pl.program_id(0) % tpb
-        idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0] + t * TILE
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1) + t * TILE
         y = (idx // w).astype(jnp.float32)
         x = (idx % w).astype(jnp.float32)
-        d2min = jnp.full((TILE,), jnp.inf, jnp.float32)
-        cy_sel = jnp.zeros((TILE,), jnp.float32)
-        cx_sel = jnp.zeros((TILE,), jnp.float32)
-        owned = jnp.zeros((TILE,), jnp.bool_)
-        for k in range(n):
-            mk = m_ref[0, k, :].astype(jnp.float32) * ok_ref[bi, k] > 0
-            cy_sel = jnp.where(mk, cy_ref[bi, k], cy_sel)
-            cx_sel = jnp.where(mk, cx_ref[bi, k], cx_sel)
-            owned = owned | mk
-            dy = y - ry_ref[bi, k]
-            dx = x - rx_ref[bi, k]
-            d2 = dy * dy + dx * dx + pen_ref[bi, k]
-            outside = (jnp.abs(dy) > lim) | (jnp.abs(dx) > lim)
-            d2min = jnp.minimum(d2min, jnp.where(outside, jnp.inf, d2))
+        mk = m_ref[0].astype(jnp.float32) * ok_ref[0]  # (N, TILE)
+        dy = y - ry_ref[0]
+        dx = x - rx_ref[0]
+        d2 = dy * dy + dx * dx + pen_ref[0]
+        outside = (jnp.abs(dy) > lim) | (jnp.abs(dx) > lim)
+        d2min = jnp.min(jnp.where(outside, jnp.inf, d2), axis=0)
+        krank = (jax.lax.broadcasted_iota(jnp.int32, (n, TILE), 0)
+                 + 1).astype(jnp.float32)  # Mosaic: iota must be int
+        rank = jnp.max(jnp.where(mk > 0, krank, 0.0), axis=0)
+        owned = rank > 0
+        onehot = krank == rank[None, :]
+        cy_sel = jnp.sum(jnp.where(onehot, cy_ref[0], 0.0), axis=0)
+        cx_sel = jnp.sum(jnp.where(onehot, cx_ref[0], 0.0), axis=0)
         out_ref[0, 0, :] = jnp.where(
             jnp.isfinite(d2min), jnp.exp(-d2min * inv2s2), 0.0
         )
-        out_ref[0, 1, :] = jnp.where(owned, (cy_sel - y) / sy, 0.0)
-        out_ref[0, 2, :] = jnp.where(owned, (cx_sel - x) / sx, 0.0)
+        out_ref[0, 1, :] = jnp.where(owned, (cy_sel - y[0]) / sy, 0.0)
+        out_ref[0, 2, :] = jnp.where(owned, (cx_sel - x[0]) / sx, 0.0)
 
-    # whole [B, N] scalar tables in SMEM, indexed by batch inside the kernel
-    # (blocked SMEM specs hit the 8x128 block-divisibility rule)
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    col = lambda: pl.BlockSpec((1, n, 1), lambda i: (i // tpb, 0, 0),
+                               memory_space=pltpu.VMEM)
     enc = pl.pallas_call(
         kernel,
         grid=(b * tpb,),
-        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
+        in_specs=[col(), col(), col(), col(), col(), col(),
                   pl.BlockSpec((1, n, TILE), lambda i: (i // tpb, 0, i % tpb),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 3, TILE), lambda i: (i // tpb, 0, i % tpb),

@@ -67,15 +67,18 @@ def restore_params(directory: str, template: Any | None = None):
 
 
 def load_eval_params(directory: str):
-    """Load predictor-ready variables from EITHER checkpoint flavor.
+    """Load predictor-ready variables from ANY checkpoint flavor.
 
     Training checkpoints (save_state: TrainState with step/params/
     batch_stats/opt_state) and imported/param-only checkpoints
     (save_params: {"params": variables}) both restore to the
     {"params": ..., ["batch_stats": ...]} dict the predictor applies —
     the reference's DetectionCheckpointer accepts both .pth flavors the
-    same way (train_net.py:191-198).
+    same way (train_net.py:191-198). A path ending in .npz loads an int8
+    release artifact (save_quantized_params) instead.
     """
+    if directory.endswith(".npz"):
+        return load_quantized_params(directory)
     mgr = _manager(directory)
     step = mgr.latest_step()
     if step is None:

@@ -33,7 +33,8 @@ def main():
                         help="accepted for reference-CLI compatibility; "
                              "device selection is JAX-managed on TPU")
     parser.add_argument("--weights-file", default=None,
-                        help="orbax checkpoint dir (random init if omitted)")
+                        help="orbax checkpoint dir or int8 .npz artifact "
+                             "(random init if omitted)")
     parser.add_argument("--npy-folder", default="")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--refine-batch", type=int, default=0,
