@@ -8,10 +8,11 @@ distance matrix, post_processing.py:71). The XLA fallback
 fuses the distance computation and argmin per VMEM tile so the [T, K]
 scores never round-trip to HBM:
 
-  grid over pixel tiles; each program streams the K centers from SMEM
-  through a running scalar-loop argmin over a [T] tile (coordinates are
-  derived in-kernel from the pixel index), so neither the distance matrix
-  nor the shifted-coordinate maps ever materialize.
+  grid over pixel tiles; each program broadcasts the K center scalars
+  (VMEM [K, 1, 1] columns, K on the untiled leading axis) against its
+  (8, 512) pixel slab and reduces the (K, 8, 512) distances along the
+  leading axis, so the distance matrix lives only in registers and the
+  argmin is two reductions instead of a K-iteration running-select loop.
 """
 
 from __future__ import annotations
@@ -24,8 +25,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tile = (sublanes, lanes) of pixels processed per program
-TILE = 8 * 512
+# tile = (sublanes, lanes) of pixels processed per program; Mosaic requires
+# the last two block dims aligned to (8, 128), so each program's TILE pixels
+# are laid out as an (SUB, LANE) slab rather than a flat vector.
+SUB = 8
+LANE = 512
+TILE = SUB * LANE
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -37,13 +42,14 @@ def group_pixels_pallas(
 ) -> jnp.ndarray:
     """Drop-in twin of ops.grouping.group_pixels (1-based ids, [H, W]).
 
-    A running scalar-loop argmin over the K centers (tables in SMEM, one
-    [TILE] vector lane set live) rather than a materialized [TILE, K_pad]
-    distance matrix: with K ~ tens, padding K to the 128-lane minimum made
-    the matrix formulation burn ~5x the VPU work (measured 33.6 -> ~4 ms
-    per 16-frame batch at K=24 on v5e). First-index tie-break matches
-    jnp.argmin (strict-less updates keep the earliest minimum; an all-inf
-    row keeps index 0)."""
+    One (K, SUB, LANE) vector pass per pixel slab: center tables ride as
+    VMEM [K, 1, 1] columns (K on the untiled leading axis, so no alignment
+    padding) and broadcast against the (SUB, LANE) slab; the argmin is a
+    pair of leading-axis reductions. An earlier [TILE, K_pad] formulation
+    padded K to the 128-LANE minimum and burned ~5x the VPU work.
+    First-index tie-break matches jnp.argmin via a min-over-matching-
+    indices reduction (an all-inf row keeps index 0: inf == inf selects
+    every row, min index 0)."""
     k = centers.shape[0]
     h, w = offsets.shape[1], offsets.shape[2]
     ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -52,44 +58,40 @@ def group_pixels_pallas(
     lx = (xs + offsets[1]).reshape(-1)
     n = ly.shape[0]
     pad = (-n) % TILE
-    ly = jnp.pad(ly, (0, pad))
-    lx = jnp.pad(lx, (0, pad))
-    grid = (ly.shape[0] // TILE,)
+    tiles = (n + pad) // TILE
+    ly = jnp.pad(ly, (0, pad)).reshape(tiles, SUB, LANE)
+    lx = jnp.pad(lx, (0, pad)).reshape(tiles, SUB, LANE)
+    grid = (tiles,)
 
-    pen = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
-    cy = centers[:, 0].astype(jnp.float32)
-    cx = centers[:, 1].astype(jnp.float32)
+    pen = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32).reshape(k, 1, 1)
+    cy = centers[:, 0].astype(jnp.float32).reshape(k, 1, 1)
+    cx = centers[:, 1].astype(jnp.float32).reshape(k, 1, 1)
 
     def kernel(cy_ref, cx_ref, pen_ref, ly_ref, lx_ref, out_ref):
-        y = ly_ref[:]
-        x = lx_ref[:]
-        dy = y - cy_ref[0]
-        dx = x - cx_ref[0]
-        best = dy * dy + dx * dx + pen_ref[0]
-        besti = jnp.zeros((TILE,), jnp.int32)
-        for j in range(1, k):
-            dy = y - cy_ref[j]
-            dx = x - cx_ref[j]
-            d2 = dy * dy + dx * dx + pen_ref[j]
-            better = d2 < best
-            best = jnp.where(better, d2, best)
-            besti = jnp.where(better, j, besti)
-        out_ref[:] = besti
+        y = ly_ref[...]  # (1, SUB, LANE)
+        x = lx_ref[...]
+        dy = y - cy_ref[...]  # (K, SUB, LANE)
+        dx = x - cx_ref[...]
+        d2 = dy * dy + dx * dx + pen_ref[...]
+        best = jnp.min(d2, axis=0, keepdims=True)
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (k, SUB, LANE), 0)
+        out_ref[...] = jnp.min(
+            jnp.where(d2 == best, kidx, k), axis=0, keepdims=True
+        )
 
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    col = lambda: pl.BlockSpec((k, 1, 1), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    row = lambda: pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
     ids = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            smem(), smem(), smem(),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ly.shape[0],), jnp.int32),
+        in_specs=[col(), col(), col(), row(), row()],
+        out_specs=row(),
+        out_shape=jax.ShapeDtypeStruct((tiles, SUB, LANE), jnp.int32),
         interpret=interpret,
     )(cy, cx, pen, ly, lx)
-    return ids[:n].reshape(h, w) + 1
+    return ids.reshape(-1)[:n].reshape(h, w) + 1
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -100,11 +102,10 @@ def group_pixels_pallas_batched(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched variant: centers [B, K, 2], valid [B, K], offsets [B, 2, H, W]
-    -> ids [B, H, W]. Same running scalar-loop argmin as group_pixels_pallas
-    (see its docstring for why this beats a [TILE, K_pad] distance matrix);
-    one grid over B x pixel tiles, each program selecting its batch's center
-    table out of the SMEM-resident [B, K] arrays (Pallas vmap of the
-    single-image kernel produces unsupported squeezed block shapes).
+    -> ids [B, H, W]. Same (K, SUB, LANE) vector argmin as
+    group_pixels_pallas; one grid over B x pixel slabs, each program
+    selecting its batch's center columns via the index map (Pallas vmap of
+    the single-image kernel produces unsupported squeezed block shapes).
     """
     b, k, _ = centers.shape
     h, w = offsets.shape[2], offsets.shape[3]
@@ -114,42 +115,36 @@ def group_pixels_pallas_batched(
     lx = (xs[None] + offsets[:, 1]).reshape(b, -1)
     n = h * w
     pad = (-n) % TILE
-    ly = jnp.pad(ly, ((0, 0), (0, pad))).reshape(-1)
-    lx = jnp.pad(lx, ((0, 0), (0, pad))).reshape(-1)
     tpb = (n + pad) // TILE
+    ly = jnp.pad(ly, ((0, 0), (0, pad))).reshape(b * tpb, SUB, LANE)
+    lx = jnp.pad(lx, ((0, 0), (0, pad))).reshape(b * tpb, SUB, LANE)
 
-    pen = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
-    cy = centers[..., 0].astype(jnp.float32)
-    cx = centers[..., 1].astype(jnp.float32)
+    pen = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32).reshape(b, k, 1, 1)
+    cy = centers[..., 0].astype(jnp.float32).reshape(b, k, 1, 1)
+    cx = centers[..., 1].astype(jnp.float32).reshape(b, k, 1, 1)
 
     def kernel(cy_ref, cx_ref, pen_ref, ly_ref, lx_ref, out_ref):
-        bi = pl.program_id(0) // tpb
-        y = ly_ref[:]
-        x = lx_ref[:]
-        dy = y - cy_ref[bi, 0]
-        dx = x - cx_ref[bi, 0]
-        best = dy * dy + dx * dx + pen_ref[bi, 0]
-        besti = jnp.zeros((TILE,), jnp.int32)
-        for j in range(1, k):
-            dy = y - cy_ref[bi, j]
-            dx = x - cx_ref[bi, j]
-            d2 = dy * dy + dx * dx + pen_ref[bi, j]
-            better = d2 < best
-            best = jnp.where(better, d2, best)
-            besti = jnp.where(better, j, besti)
-        out_ref[:] = besti
+        y = ly_ref[...]  # (1, SUB, LANE)
+        x = lx_ref[...]
+        dy = y - cy_ref[0]  # (K, SUB, LANE)
+        dx = x - cx_ref[0]
+        d2 = dy * dy + dx * dx + pen_ref[0]
+        best = jnp.min(d2, axis=0, keepdims=True)
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (k, SUB, LANE), 0)
+        out_ref[...] = jnp.min(
+            jnp.where(d2 == best, kidx, k), axis=0, keepdims=True
+        )
 
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    col = lambda: pl.BlockSpec((1, k, 1, 1), lambda i: (i // tpb, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    row = lambda: pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
     ids = pl.pallas_call(
         kernel,
         grid=(b * tpb,),
-        in_specs=[
-            smem(), smem(), smem(),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ly.shape[0],), jnp.int32),
+        in_specs=[col(), col(), col(), row(), row()],
+        out_specs=row(),
+        out_shape=jax.ShapeDtypeStruct((b * tpb, SUB, LANE), jnp.int32),
         interpret=interpret,
     )(cy, cx, pen, ly, lx)
     return ids.reshape(b, n + pad)[:, :n].reshape(b, h, w) + 1
