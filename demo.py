@@ -41,13 +41,13 @@ def main():
     from quber_tpu.evaluation.base_models import build_base_model
     from quber_tpu.ops.preprocess import inpaint_depth, normalize_depth
     from quber_tpu.predictor import MaskRefinerPredictor
+    from quber_tpu.profiling import enable_compilation_cache
 
+    enable_compilation_cache()  # warm reruns skip the ~40 s pipeline compile
     model_cfg, _ = load_config(args.config_file)
-    params = None
-    if args.weights:
-        from quber_tpu.train.checkpoint import load_eval_params
+    from quber_tpu.train.checkpoint import load_default_params
 
-        params = load_eval_params(args.weights)
+    params = load_default_params(args.weights)
     predictor = MaskRefinerPredictor(model_cfg, params)
     base = build_base_model(args.base_model, "OSD")
     os.makedirs(args.output, exist_ok=True)

@@ -161,3 +161,25 @@ def load_quantized_params(path: str) -> dict:
         else:
             insert(key, data[key])
     return tree
+
+
+def load_default_params(path: str | None = None):
+    """Resolve predictor weights the way the CLIs (predict.py / demo.py /
+    bench.py) do: an explicit path wins, then $QUBER_WEIGHTS, then the
+    in-repo int8 release artifact (weights/flagship_synth_int8.npz, made
+    by tools/quantize_checkpoint.py), else None (random init) — so the
+    single-image and demo entry points refine meaningfully from a fresh
+    clone, mirroring the reference CLIs' bundled-checkpoint defaults
+    (/root/reference/predict.py weights args)."""
+    import os
+
+    path = path or os.environ.get("QUBER_WEIGHTS")
+    if path:
+        return load_eval_params(path)
+    bundled = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "weights", "flagship_synth_int8.npz",
+    )
+    if os.path.exists(bundled):
+        return load_quantized_params(bundled)
+    return None
