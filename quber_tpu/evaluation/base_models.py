@@ -140,6 +140,25 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 
         return UOISNet3DBaseModel(dataset=dataset)
+    if name == "uoisnet3d-pretrained":
+        # imported reference checkpoints (tools/import_checkpoint.py --model
+        # uois_dsn / uois_rrn); env vars point at the two orbax dirs
+        from quber_tpu.models.uois_net_pretrained import (
+            UOISNet3DPretrainedBaseModel,
+        )
+        from quber_tpu.train.checkpoint import restore_params
+
+        dsn_ckpt = os.environ.get("QUBER_UOIS_DSN_CKPT", "output/uois_dsn/ckpt")
+        rrn_ckpt = os.environ.get("QUBER_UOIS_RRN_CKPT", "output/uois_rrn/ckpt")
+
+        def _maybe(path):
+            try:
+                return restore_params(path)
+            except FileNotFoundError:
+                return None  # random init (perf smoke without a checkpoint)
+
+        return UOISNet3DPretrainedBaseModel(
+            _maybe(dsn_ckpt), _maybe(rrn_ckpt), dataset=dataset)
     if name in ("uoaisnet", "uoaisnet-amodal"):
         from quber_tpu.models.uoais_net import UOAISNetBaseModel
         from quber_tpu.train.checkpoint import restore_params
@@ -167,7 +186,8 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         return GroundedSAMBaseModel(dataset=dataset)
     raise NotImplementedError(
         f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn, "
-        "msmformer, msmformer-pretrained, uoisnet3d, uoaisnet, "
+        "msmformer, msmformer-pretrained, uoisnet3d, uoisnet3d-pretrained, "
+        "uoaisnet, "
         "uoaisnet-amodal, uoaisnet-pretrained, sam, detic, "
         "grounded-sam"
     )

@@ -705,3 +705,48 @@ def import_uoais_net(state_dict: dict, strict: bool = True) -> dict:
                 or k.startswith("roi_heads.occ_cls_mask_head.deconv")):
             b.used.add(k)
     return _result(b, strict)
+
+
+# ---------------------------------------------------------------------------
+# UOIS-Net-3D: DSN + RRN (uois/src/networks.py:191-369, segmentation.py:58-68
+# checkpoint format {'model': state_dict} with nn.DataParallel 'module.'
+# prefixes; loaded at eval/base_model.py:441-455)
+# ---------------------------------------------------------------------------
+
+
+def _import_uois(state_dict: dict, strict: bool) -> dict:
+    """Shared DSN/RRN mapper.
+
+    The torch module tree (encoder/decoder/fg_module[/cd_module] of
+    Conv2d_GN_ReLU / ESPModule / Upsample_Concat blocks) and the flax tree
+    in models/uois_net_pretrained.py use identical submodule names, so the
+    mapping is rule-based: every '<mod>.weight' is a bias-free conv unless
+    its leaf is a GroupNorm ('gn'/'gn1'); 'last_conv' carries a bias
+    (networks.py:253-254), which b.conv auto-detects.
+    """
+    if "model" in state_dict and isinstance(state_dict["model"], dict):
+        state_dict = state_dict["model"]
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[len("module."):] if k.startswith("module.") else k] = v
+    b = _ZooBuilder(sd)
+    for k in sorted(b.sd):
+        if not k.endswith(".weight"):
+            continue
+        mod = k[: -len(".weight")]
+        path = mod.split(".")
+        if path[-1] in ("gn", "gn1"):
+            b.layernorm(path, mod)  # GroupNorm: weight/bias -> scale/bias
+        else:
+            b.conv(path, mod)
+    return _result(b, strict)
+
+
+def import_uois_dsn(state_dict: dict, strict: bool = True) -> dict:
+    """DepthSeedingNetwork_3D_TOD_checkpoint.pth -> PretrainedDSN params."""
+    return _import_uois(state_dict, strict)
+
+
+def import_uois_rrn(state_dict: dict, strict: bool = True) -> dict:
+    """RRN_OID_checkpoint.pth -> PretrainedRRN params."""
+    return _import_uois(state_dict, strict)

@@ -45,7 +45,7 @@ def instance_boxes_from_labels(labels: jnp.ndarray, max_instances: int,
 
 
 def zoom_refine_labels(labels: jnp.ndarray, refine_one, max_instances: int,
-                       zoom: int):
+                       zoom: int, pad_ratio: float = 0.4):
     """Second-stage refinement of an int label map.
 
     refine_one(box [4], valid bool, inst_id int) -> [zoom, zoom] f32 in
@@ -53,7 +53,8 @@ def zoom_refine_labels(labels: jnp.ndarray, refine_one, max_instances: int,
     replaces the instance's region in the full map (match_label_crop paste
     order: later instances overwrite)."""
     h, w = labels.shape
-    boxes, bvalid = instance_boxes_from_labels(labels, max_instances)
+    boxes, bvalid = instance_boxes_from_labels(labels, max_instances,
+                                               pad_ratio=pad_ratio)
     ids = jnp.arange(1, max_instances + 1)
     crops = jax.vmap(refine_one)(boxes, bvalid, ids)  # [N, zoom, zoom]
 

@@ -599,3 +599,90 @@ def test_msmformer_import_matches_torch_rederivation(rng):
                                want_logits.numpy(), atol=2e-3)
     np.testing.assert_allclose(np.asarray(got["pred_masks"]),
                                want_masks.numpy(), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# UOIS-Net-3D (uois/src/networks.py): true oracle against the reference
+# torch modules, loaded as a synthetic package so src/'s relative imports
+# resolve without an __init__.py.
+# ---------------------------------------------------------------------------
+
+UOIS_DIR = "/root/reference/uois/src"
+
+
+def _load_uois_networks():
+    import importlib
+    import types
+
+    if "refuois" not in sys.modules:
+        pkg = types.ModuleType("refuois")
+        pkg.__path__ = [UOIS_DIR]
+        sys.modules["refuois"] = pkg
+    return importlib.import_module("refuois.networks")
+
+
+@pytest.mark.skipif(not os.path.isdir(UOIS_DIR),
+                    reason="reference uois snapshot not available")
+def test_uois_dsn_import_matches_reference_torch(rng):
+    networks = _load_uois_networks()
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+    fd = 10  # small feature_dim keeps the oracle fast; mapping is per-block
+    enc = networks.UNetESP_Encoder(input_channels=3, feature_dim=fd).eval()
+    dec = networks.UNetESP_Decoder(feature_dim=fd).eval()
+    fg = tnn.Conv2d(fd, 3, kernel_size=1, bias=False)
+    cd = tnn.Conv2d(fd, 3, kernel_size=1, bias=False)
+
+    xyz = rng.rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        feats = dec(enc(torch.from_numpy(np.transpose(xyz, (0, 3, 1, 2)))))
+        want_fg = fg(feats).numpy()
+        want_cd = cd(feats).numpy()
+
+    sd = {f"module.encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"module.decoder.{k}": v for k, v in dec.state_dict().items()})
+    sd.update({"module.fg_module.weight": fg.weight,
+               "module.cd_module.weight": cd.weight})
+    variables = IZ.import_uois_dsn(
+        {"model": {k: v.detach().numpy() for k, v in sd.items()}})
+
+    from quber_tpu.models.uois_net_pretrained import PretrainedDSN
+
+    model = PretrainedDSN(feature_dim=fd)
+    got_fg, got_cd = model.apply({"params": variables["params"]},
+                                 jnp.asarray(xyz))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got_fg), (0, 3, 1, 2)), want_fg, atol=1e-4)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got_cd), (0, 3, 1, 2)), want_cd, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(UOIS_DIR),
+                    reason="reference uois snapshot not available")
+def test_uois_rrn_import_matches_reference_torch(rng):
+    networks = _load_uois_networks()
+    import torch.nn as tnn
+
+    torch.manual_seed(1)
+    fd = 10
+    enc = networks.UNet_Encoder(input_channels=4, feature_dim=fd).eval()
+    dec = networks.UNet_Decoder(num_encoders=1, feature_dim=fd).eval()
+    fg = tnn.Conv2d(fd, 1, kernel_size=1, bias=False)
+
+    x = rng.rand(1, 64, 64, 4).astype(np.float32)
+    with torch.no_grad():
+        feats = dec([enc(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))])
+        want = fg(feats).numpy()[:, 0]
+
+    sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    sd.update({"fg_module.weight": fg.weight})
+    variables = IZ.import_uois_rrn(
+        {k: v.detach().numpy() for k, v in sd.items()})
+
+    from quber_tpu.models.uois_net_pretrained import PretrainedRRN
+
+    model = PretrainedRRN(feature_dim=fd)
+    got = model.apply({"params": variables["params"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)

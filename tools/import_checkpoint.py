@@ -28,7 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODELS = ("mask_refiner", "cgnet", "lmffnet", "ucn", "cascadepsp", "sam_hq",
-          "msmformer", "uoais_net")
+          "msmformer", "uoais_net", "uois_dsn", "uois_rrn")
 
 
 def import_variables(model: str, sd: dict, model_cfg=None) -> dict:
@@ -57,6 +57,12 @@ def import_variables(model: str, sd: dict, model_cfg=None) -> dict:
         # deployed GeneralizedRCNN model_final.pth
         # (R50_rgbdconcat_mlc_occatmask_hom_concat, eval/base_model.py:174-186)
         return IZ.import_uoais_net(sd)
+    if model == "uois_dsn":
+        # DepthSeedingNetwork_3D_TOD_checkpoint.pth (eval/base_model.py:444)
+        return IZ.import_uois_dsn(sd)
+    if model == "uois_rrn":
+        # RRN_OID_checkpoint.pth (eval/base_model.py:445)
+        return IZ.import_uois_rrn(sd)
     raise ValueError(f"unknown model {model!r}; choose from {MODELS}")
 
 
