@@ -17,6 +17,19 @@ import numpy as np
 from quber_tpu.evaluation.datasets import BG_LABELS, EVAL_H, EVAL_W
 
 
+def _restore_or_none(ckpt_dir: str):
+    """Load an orbax param tree if the path is set and exists; else None
+    (random init — perf smoke without a checkpoint)."""
+    if not ckpt_dir:
+        return None
+    from quber_tpu.train.checkpoint import restore_params
+
+    try:
+        return restore_params(ckpt_dir)
+    except FileNotFoundError:
+        return None
+
+
 class Empty:
     """No initial prediction (base_model.py:64-70)."""
 
@@ -101,11 +114,20 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
     if name in ("ucn", "ucn-zoomin"):
         from quber_tpu.models.ucn import UCNBaseModel
 
-        return UCNBaseModel(dataset=dataset, zoom_in=name.endswith("zoomin"))
+        # tools/train_zoo.py --model ucn checkpoint (random init without one)
+        ckpt = os.environ.get("QUBER_UCN_CKPT", "")
+        params = _restore_or_none(ckpt)
+        return UCNBaseModel(params=params, dataset=dataset,
+                            zoom_in=name.endswith("zoomin"))
     if name in ("msmformer", "msmformer-zoomin"):
         from quber_tpu.models.msmformer import MSMFormerBaseModel
 
-        return MSMFormerBaseModel(dataset=dataset, zoom_in=name.endswith("zoomin"))
+        # tools/train_zoo.py --model msmformer checkpoint (native variant;
+        # the imported reference checkpoint is `msmformer-pretrained`)
+        ckpt = os.environ.get("QUBER_MSMFORMER_NATIVE_CKPT", "")
+        params = _restore_or_none(ckpt)
+        return MSMFormerBaseModel(params=params, dataset=dataset,
+                                  zoom_in=name.endswith("zoomin"))
     if name == "msmformer-pretrained":
         # imported reference checkpoint (tools/import_checkpoint.py --model
         # msmformer); QUBER_MSMFORMER_CKPT points at the orbax dir
@@ -139,7 +161,12 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
     if name == "uoisnet3d":
         from quber_tpu.models.uois_net import UOISNet3DBaseModel
 
-        return UOISNet3DBaseModel(dataset=dataset)
+        # tools/train_zoo.py --model uoisnet3d checkpoints (ckpt_dsn/ +
+        # ckpt_rrn/; random init without them)
+        dsn = _restore_or_none(os.environ.get("QUBER_UOIS3D_DSN_CKPT", ""))
+        rrn = _restore_or_none(os.environ.get("QUBER_UOIS3D_RRN_CKPT", ""))
+        return UOISNet3DBaseModel(dsn_params=dsn, rrn_params=rrn,
+                                  dataset=dataset)
     if name == "uoisnet3d-pretrained":
         # imported reference checkpoints (tools/import_checkpoint.py --model
         # uois_dsn / uois_rrn); env vars point at the two orbax dirs

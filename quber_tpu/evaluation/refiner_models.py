@@ -176,6 +176,17 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
     if name == "rice":
         from quber_tpu.models.rice import RICERefiner
 
+        if params is None:
+            # tools/train_zoo.py --model rice NodeScorer checkpoint
+            # (random init without one)
+            ckpt = os.environ.get("QUBER_RICE_CKPT", "")
+            if ckpt:
+                from quber_tpu.train.checkpoint import restore_params
+
+                try:
+                    params = restore_params(ckpt)
+                except FileNotFoundError:
+                    params = None
         return RICERefiner(params=params, dataset=dataset)
     if name in ("sam", "hq-sam", "hq-sam-pretrained"):
         from quber_tpu.models.sam_refiner import SAMHQRefiner

@@ -179,37 +179,95 @@ class MSMFormer(nn.Module):
         return {"mask_logits": mask_logits, "objectness": objectness.astype(jnp.float32)}
 
 
+def _lap_min_cost(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact rectangular min-cost assignment, fully inside XLA.
+
+    cost [N, Q] with N <= Q; returns row2col [N] int32, a distinct column
+    per row minimizing the total cost. This is the shortest-augmenting-path
+    algorithm scipy's linear_sum_assignment uses (Crouse 2016), re-expressed
+    as fixed-shape lax loops: one Dijkstra pass per row (while_loop over
+    column scans, each scan a vectorized reduced-cost update + argmin) and a
+    predecessor walk to augment. O(N * Q^2) scalar work — trivial at the
+    query/slot sizes set prediction uses (Q <= ~100) — and, unlike a host
+    callback, it runs on TPU transports with no host send/recv support.
+    """
+    n, q = cost.shape
+    inf = jnp.float32(3e38)
+    cost = cost.astype(jnp.float32)
+
+    def assign(carry, cur):
+        u, v, col2row, row2col = carry
+
+        def scan_cond(s):
+            return s[0] < 0
+
+        def scan_body(s):
+            _, i, minval, d, visited, path = s
+            # relax reduced costs through the newly scanned row i
+            r = minval + cost[i] - u[i] - v
+            upd = (~visited) & (r < d)
+            d = jnp.where(upd, r, d)
+            path = jnp.where(upd, i, path)
+            masked = jnp.where(visited, inf, d)
+            j = jnp.argmin(masked).astype(jnp.int32)
+            minval = masked[j]
+            visited = visited.at[j].set(True)
+            hit_free = col2row[j] < 0
+            sink = jnp.where(hit_free, j, -1)
+            i = jnp.where(hit_free, i, col2row[j])
+            return sink, i, minval, d, visited, path
+
+        sink, _, minval, d, visited, path = jax.lax.while_loop(
+            scan_cond, scan_body,
+            (jnp.int32(-1), cur, jnp.float32(0.0),
+             jnp.full((q,), inf), jnp.zeros((q,), bool),
+             jnp.full((q,), -1, jnp.int32)))
+
+        # dual update over the alternating tree (scanned rows + columns)
+        jvec = jnp.clip(row2col, 0, q - 1)
+        in_tree = (row2col >= 0) & visited[jvec]
+        u = u + jnp.where(jnp.arange(n) == cur, minval, 0.0)
+        u = u + jnp.where(in_tree, minval - d[jvec], 0.0)
+        v = v + jnp.where(visited, d - minval, 0.0)
+
+        def aug_cond(s):
+            return ~s[0]
+
+        def aug_body(s):
+            _, j, col2row, row2col = s
+            i = path[j]
+            col2row = col2row.at[j].set(i)
+            nxt = row2col[i]
+            row2col = row2col.at[i].set(j)
+            return i == cur, nxt, col2row, row2col
+
+        _, _, col2row, row2col = jax.lax.while_loop(
+            aug_cond, aug_body, (jnp.bool_(False), sink, col2row, row2col))
+        return (u, v, col2row, row2col), None
+
+    init = (jnp.zeros((n,), jnp.float32), jnp.zeros((q,), jnp.float32),
+            jnp.full((q,), -1, jnp.int32), jnp.full((n,), -1, jnp.int32))
+    (_, _, _, row2col), _ = jax.lax.scan(
+        assign, init, jnp.arange(n, dtype=jnp.int32))
+    return row2col
+
+
 @jax.custom_jvp
 def hungarian_match(cost: jnp.ndarray, valid_targets: jnp.ndarray) -> jnp.ndarray:
-    """Min-cost assignment of queries to targets via a host callback.
+    """Min-cost assignment of queries to targets, entirely on device.
 
     cost [Q, N]; valid_targets [N] bool. Returns match [N] int32: the query
-    index assigned to each target (-1 for invalid targets). The matrices are
-    tiny (Q, N <= ~50), so a host scipy call per step is negligible — the
-    same choice Mask2Former-family trainers make. Under differentiation the
-    assignment is a constant (the Mask2Former criterion computes matching
-    under no_grad), declared via custom_jvp so grad flows through the
-    matched losses but not the matcher.
+    index assigned to each target (-1 for invalid targets). Invalid targets
+    are given constant-cost rows — neutral to the optimum over the valid
+    ones (a constant row takes whatever column the valid rows leave free) —
+    then masked back to -1, keeping the solve fixed-shape. Under
+    differentiation the assignment is a constant (the Mask2Former criterion
+    computes matching under no_grad), declared via custom_jvp so grad flows
+    through the matched losses but not the matcher.
     """
-    import numpy as np
-
     q, n = cost.shape
-
-    def solve(cost_np, valid_np):
-        from scipy.optimize import linear_sum_assignment
-
-        out = np.full((n,), -1, np.int32)
-        cols = np.nonzero(valid_np)[0]
-        if len(cols):
-            sub = cost_np[:, cols]
-            rows, sub_cols = linear_sum_assignment(sub)
-            out[cols[sub_cols]] = rows.astype(np.int32)
-        return out
-
-    return jax.pure_callback(
-        solve, jax.ShapeDtypeStruct((n,), jnp.int32), cost, valid_targets,
-        vmap_method="sequential",
-    )
+    rows = jnp.where(valid_targets[:, None], cost.T, 0.0)
+    return jnp.where(valid_targets, _lap_min_cost(rows), -1).astype(jnp.int32)
 
 
 @hungarian_match.defjvp

@@ -53,6 +53,54 @@ class NodeScorer(nn.Module):
         return nn.Dense(1, dtype=d, name="fc2")(y)[..., 0].astype(jnp.float32)
 
 
+def node_scorer_loss(good_scores, good_valid, bad_scores, bad_valid,
+                     margin: float = 0.3):
+    """Training recipe for the NodeScorer (the SGS-Net role).
+
+    The RICE submodule is empty in the reference snapshot (SURVEY §2c), so
+    this follows the published SGS-Net objective: rank ground-truth
+    segmentation graphs above perturbed ones. Per-node BCE (nodes of the GT
+    hypothesis -> 1, nodes of a perturbed hypothesis -> 0) plus a
+    hypothesis-level hinge that the mean GT score exceeds the mean perturbed
+    score by `margin`. Scores are NodeScorer logits; `*_valid` mask padded
+    node slots.
+    """
+    def _mean(x, v):
+        v = v.astype(jnp.float32)
+        return jnp.sum(x * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+    sp = jax.nn.softplus
+    bce = _mean(sp(-good_scores), good_valid) + _mean(sp(bad_scores), bad_valid)
+    rank = jnp.maximum(
+        0.0, margin - (_mean(good_scores, good_valid) - _mean(bad_scores, bad_valid)))
+    return {"loss_node_bce": bce, "loss_rank": rank}
+
+
+def hypothesis_node_crops(image6, masks, valid, crop: int = 64):
+    """NodeScorer input crops for one hypothesis: per-mask 6-channel
+    [rgb | depth-gray | mask | neighborhood-union] ROI crops plus the
+    effective validity (valid slot AND non-empty box). Shared between the
+    scorer's hypothesis scoring and the SGS-Net-style trainer so training
+    crops match inference crops exactly. masks [N, H, W], image6 [H, W, 6]
+    in [0, 1]; returns (crops [N, crop, crop, 6], ok [N] bool)."""
+    from quber_tpu.models.ucn import instance_boxes_from_labels
+
+    n = masks.shape[0]
+    labels = jnp.max(
+        masks.astype(jnp.int32) * jnp.arange(1, n + 1)[:, None, None], axis=0
+    )
+    boxes, bvalid = instance_boxes_from_labels(labels, n)
+    union = (jnp.sum(masks, axis=0) > 0).astype(jnp.float32)
+
+    def crop_one(box, mask):
+        rgbd = roi_align(image6[..., :4], box[None], out_size=crop)[0]
+        mm = roi_align(mask.astype(jnp.float32)[..., None], box[None], out_size=crop)[0]
+        uu = roi_align(union[..., None], box[None], out_size=crop)[0]
+        return jnp.concatenate([rgbd, mm, uu], axis=-1)
+
+    return jax.vmap(crop_one)(boxes, masks), valid & bvalid
+
+
 def split_mask_2means(mask: jnp.ndarray, iters: int = 8):
     """Geometric split: 2-means on the mask's pixel coordinates (the
     SplitNet role). Returns two disjoint masks covering the input."""
@@ -132,24 +180,8 @@ class RICERefiner:
 
     def _score_hypothesis(self, params, image6, masks, valid):
         """Mean per-node score over valid masks (the SGS role)."""
-        from quber_tpu.models.ucn import instance_boxes_from_labels
-
-        n = self.MAX_INST
-        labels = jnp.max(
-            masks.astype(jnp.int32) * jnp.arange(1, n + 1)[:, None, None], axis=0
-        )
-        boxes, bvalid = instance_boxes_from_labels(labels, n)
-        union = (jnp.sum(masks, axis=0) > 0).astype(jnp.float32)
-
-        def crop_one(box, mask):
-            rgbd = roi_align(image6[..., :4], box[None], out_size=self.CROP)[0]
-            mm = roi_align(mask.astype(jnp.float32)[..., None], box[None], out_size=self.CROP)[0]
-            uu = roi_align(union[..., None], box[None], out_size=self.CROP)[0]
-            return jnp.concatenate([rgbd, mm, uu], axis=-1)
-
-        crops = jax.vmap(crop_one)(boxes, masks)
+        crops, ok = hypothesis_node_crops(image6, masks, valid, crop=self.CROP)
         node_scores = self.scorer.apply(params, crops)
-        ok = valid & bvalid
         return jnp.sum(node_scores * ok) / jnp.maximum(jnp.sum(ok), 1.0)
 
     # ---- candidate graph operations (fixed-shape) ----

@@ -43,6 +43,36 @@ def restore_state(directory: str, template, step: int | None = None):
     return restored
 
 
+def _metadata_template(mgr: ocp.CheckpointManager, step: int):
+    """Abstract restore template from the checkpoint's own metadata, pinned
+    to the current default device. A bare StandardRestore() replays the
+    shardings recorded at save time, so a TPU-trained checkpoint refuses to
+    load in a CPU process (and vice versa); shape/dtype from metadata +
+    a local SingleDeviceSharding makes restores platform-portable."""
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    item_dir = os.path.join(str(mgr.directory), str(step), "default")
+    meta = ocp.StandardCheckpointer().metadata(item_dir).item_metadata
+
+    def to_abstract(m):
+        shape = getattr(m, "shape", None)
+        dtype = getattr(m, "dtype", None)
+        if shape is None or dtype is None:
+            return m  # scalar / unknown metadata: let orbax handle it
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+    return jax.tree.map(to_abstract, meta.tree if hasattr(meta, "tree") else meta)
+
+
+def _restore_portable(mgr: ocp.CheckpointManager, step: int):
+    try:
+        return mgr.restore(
+            step, args=ocp.args.StandardRestore(_metadata_template(mgr, step)))
+    except Exception:
+        # metadata layout surprises (older orbax formats): fall back to the
+        # saved-sharding path, which works whenever platforms match
+        return mgr.restore(step, args=ocp.args.StandardRestore())
+
+
 def save_params(directory: str, params: Any, step: int = 0):
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave({"params": params}))
@@ -56,12 +86,11 @@ def restore_params(directory: str, template: Any | None = None):
     if step is None:
         mgr.close()
         raise FileNotFoundError(f"no checkpoint found under {directory}")
-    args = (
-        ocp.args.StandardRestore({"params": template})
-        if template is not None
-        else ocp.args.StandardRestore()
-    )
-    restored = mgr.restore(step, args=args)
+    if template is not None:
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore({"params": template}))
+    else:
+        restored = _restore_portable(mgr, step)
     mgr.close()
     return restored["params"]
 
@@ -84,7 +113,7 @@ def load_eval_params(directory: str):
     if step is None:
         mgr.close()
         raise FileNotFoundError(f"no checkpoint found under {directory}")
-    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    restored = _restore_portable(mgr, step)
     mgr.close()
     if "opt_state" in restored or "step" in restored:  # TrainState flavor
         out = {"params": restored["params"]}

@@ -87,3 +87,43 @@ def test_set_loss_matching_invariance():
         {"mask_logits": jnp.asarray(logits), "objectness": jnp.asarray(objness)},
         jnp.asarray(gt), jnp.asarray(valid))
     assert sum(float(v) for v in out.values()) < 0.1
+
+
+def test_hungarian_match_scipy_oracle(rng):
+    """The on-device LAP == scipy.optimize.linear_sum_assignment: identical
+    assignments on random continuous costs (unique optimum a.s.), invalid
+    targets -> -1 without disturbing the valid ones."""
+    from scipy.optimize import linear_sum_assignment
+
+    from quber_tpu.models.msmformer import hungarian_match
+
+    matcher = jax.jit(hungarian_match)
+    for trial in range(20):
+        q = rng.randint(3, 40)
+        n = rng.randint(1, min(q, 12) + 1)
+        cost = rng.randn(q, n).astype(np.float32) * 10
+        valid = rng.rand(n) > 0.3
+        got = np.asarray(matcher(jnp.asarray(cost), jnp.asarray(valid)))
+        want = np.full((n,), -1, np.int32)
+        cols = np.nonzero(valid)[0]
+        if len(cols):
+            r, c = linear_sum_assignment(cost[:, cols])
+            want[cols[c]] = r
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_hungarian_match_grad_flows():
+    """value_and_grad through a matched loss works (matching is a constant
+    under differentiation, custom_jvp)."""
+    from quber_tpu.models.msmformer import hungarian_match
+
+    cost = jnp.asarray([[0.1, 2.0], [2.0, 0.1], [1.0, 1.0]], jnp.float32)
+    valid = jnp.asarray([True, True])
+
+    def loss(c):
+        m = hungarian_match(c, valid)
+        return jnp.sum(c[m, jnp.arange(2)])
+
+    val, grad = jax.value_and_grad(loss)(cost)
+    assert np.isclose(float(val), 0.2)
+    assert np.asarray(grad).sum() == 2.0  # d(sum of 2 picks)/d(picked cells)

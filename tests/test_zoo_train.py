@@ -139,6 +139,93 @@ def test_msmformer_learns(rng):
     assert last < first, (first, last)
 
 
+def test_rice_scorer_learns(rng):
+    """The RICE NodeScorer learns to rank well-aligned mask crops above
+    mis-aligned ones under the SGS-Net-style objective."""
+    from quber_tpu.models.rice import NodeScorer, node_scorer_loss
+
+    m = NodeScorer()
+    # "good" crops: mask channel agrees with a bright blob in the rgb
+    # channels; "bad" crops: mask shifted off the blob
+    base = np.zeros((4, 64, 64, 6), np.float32)
+    base[:, 16:48, 16:48, :3] = 1.0   # object pixels in rgb
+    good = base.copy()
+    good[:, 16:48, 16:48, 4] = 1.0    # aligned mask channel
+    bad = base.copy()
+    bad[:, 40:64, 40:64, 4] = 1.0     # misaligned mask channel
+    good, bad = jnp.asarray(good), jnp.asarray(bad)
+    valid = jnp.ones((4,), bool)
+    v = m.init(jax.random.PRNGKey(0), good)
+
+    def loss_fn(params):
+        losses = node_scorer_loss(m.apply(params, good), valid,
+                                  m.apply(params, bad), valid)
+        return sum(losses.values())
+
+    first, last = _fit(loss_fn, v, steps=8, lr=1e-3)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_uois_dsn_learns(rng):
+    """UOIS-Net-3D DSN overfits one frame under the full reference objective
+    (fg CE + offset smooth-L1 + separation + cluster,
+    uois/src/train.py:204-254)."""
+    from quber_tpu.models.uois_net import DepthSeedingNetwork, dsn_train_losses
+
+    m = DepthSeedingNetwork()
+    h, w = 32, 32
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    xyz = np.stack([xs / w, ys / h, np.ones_like(xs)], axis=-1)
+    labels = np.zeros((h, w), np.int32)
+    labels[4:16, 4:16] = 1   # object 0 (native 2-class DSN: object_label=1)
+    labels[18:30, 18:30] = 2  # object 1
+    centers = np.zeros((4, 3), np.float32)
+    centers[0] = xyz[4:16, 4:16].reshape(-1, 3).mean(0)
+    centers[1] = xyz[18:30, 18:30].reshape(-1, 3).mean(0)
+    valid = jnp.asarray([True, True, False, False])
+    off_t = np.zeros((h, w, 3), np.float32)
+    off_t[labels == 1] = centers[0] - xyz[labels == 1]
+    off_t[labels == 2] = centers[1] - xyz[labels == 2]
+
+    xyz_j = jnp.asarray(xyz)
+    v = m.init(jax.random.PRNGKey(0), xyz_j[None])
+    key = jax.random.PRNGKey(7)
+
+    def loss_fn(params):
+        fg_logits, offsets = m.apply(params, xyz_j[None])
+        losses = dsn_train_losses(
+            fg_logits[0], offsets[0], xyz_j, jnp.asarray(off_t),
+            jnp.asarray(labels), jnp.asarray(centers), valid, key,
+            object_label=1, sigma=0.05, delta=0.2)
+        return sum(losses.values())
+
+    first, last = _fit(loss_fn, v, steps=8, lr=1e-3)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_uois_rrn_learns(rng):
+    """UOIS-Net-3D RRN overfits one frame under the weighted-BCE objective
+    (uois/src/train.py:306-330)."""
+    from quber_tpu.models.uois_net import RegionRefinementNetwork, rrn_loss
+
+    m = RegionRefinementNetwork()
+    x = jnp.asarray(rng.rand(1, 32, 32, 4).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    target = np.zeros((1, 32, 32), np.float32)
+    target[0, 8:24, 8:24] = 1
+    target = jnp.asarray(target)
+
+    def loss_fn(params):
+        logits = m.apply(params, x)[..., 0]
+        return rrn_loss(logits, target)
+
+    first, last = _fit(loss_fn, v, steps=6, lr=1e-3)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
 def test_sam_hq_learns(rng):
     from quber_tpu.models.sam_hq import SAMHQ, sam_hq_mask_loss
 

@@ -1,19 +1,30 @@
 #!/usr/bin/env python
-"""Zoo base-segmenter training CLI (UOAIS-Net on synthetic scenes).
+"""Zoo base-segmenter training CLI on the in-repo synthetic scenes.
 
-The reference trains its base segmenters in their own vendored repos
-(ext_modules/uoais train_net.py with the adet RPN/ROI/mask losses,
-rcnn_heads.py:62-381). This driver is the TPU-native equivalent for the
-UOAIS-Net port: fixed-shape anchor/ROI target assignment inside one jitted
-step (quber_tpu/models/uoais_net.uoais_losses), trained on the in-repo
-occlusion-aware synthetic scenes with real amodal ground truth.
+The reference trains each base segmenter in its own vendored repo; this
+driver is the TPU-native equivalent, one fixed-shape jitted step per model:
+
+  uoaisnet   adet RPN/ROI/mask losses (ext_modules/uoais rcnn_heads.py:62-381)
+             -> quber_tpu/models/uoais_net.uoais_losses
+  uoisnet3d  DSN fg CE + offset smooth-L1 + separation + cluster losses and
+             RRN weighted BCE (uois/src/train.py:151-330)
+             -> quber_tpu/models/uois_net.{dsn_train_losses, rrn_loss}
+  ucn        metric-learning embeddings (UnseenObjectClustering recipe,
+             prototype pull/push) -> quber_tpu/models/ucn.prototype_metric_loss
+  msmformer  Mask2Former-style Hungarian set loss
+             -> quber_tpu/models/msmformer.msmformer_set_loss
+  rice       SGS-Net-style NodeScorer ranking: GT hypothesis nodes above
+             corrupted ones -> quber_tpu/models/rice.node_scorer_loss
 
     python tools/train_zoo.py --model uoaisnet --size 192 --max-iter 3000 \
         --output-dir output/uoaisnet_synth
 
-The checkpoint loads into the eval harness:
+The checkpoints load into the eval harness via env vars, e.g.:
     QUBER_UOAISNET_CKPT=output/uoaisnet_synth/ckpt python run_eval.py \
         --base-model uoaisnet --refiner-model maskrefiner ...
+(uoisnet3d writes ckpt_dsn/ + ckpt_rrn/ -> QUBER_UOIS3D_DSN_CKPT /
+QUBER_UOIS3D_RRN_CKPT; ucn -> QUBER_UCN_CKPT; msmformer ->
+QUBER_MSMFORMER_NATIVE_CKPT; rice -> QUBER_RICE_CKPT.)
 """
 
 import argparse
@@ -61,9 +72,369 @@ def make_scenes(n, h, w, seed, depth_range):
     return scenes
 
 
+def make_labeled_scenes(n, h, w, seed, depth_range):
+    """Scenes for the pixel-labeling trainers (uoisnet3d / ucn / msmformer):
+    standardized RGB, XYZ point cloud (OSD-default intrinsics, as the eval
+    wrappers use), compact instance labels {0=bg, 1+k=object k}, per-object
+    XYZ centers and center-offset targets."""
+    import numpy as np
+
+    from quber_tpu.data.synthetic import render_scene
+    from quber_tpu.ops.preprocess import compute_xyz, standardize_image
+
+    cam = {"fx": 550.0, "fy": 550.0, "x_offset": w / 2.0, "y_offset": h / 2.0,
+           "img_width": w, "img_height": h}
+    rng = np.random.RandomState(seed)
+    out = {k: [] for k in ("rgb", "xyz", "labels", "centers", "valid", "offsets")}
+    for _ in range(n):
+        rgb, depth_mm, vis = render_scene(rng, h, w, depth_range=depth_range)
+        xyz = compute_xyz(depth_mm.astype(np.float32) / 1000.0, cam)
+        labels = np.zeros((h, w), np.int32)
+        centers = np.zeros((SLOTS, 3), np.float32)
+        valid = np.zeros((SLOTS,), bool)
+        offsets = np.zeros((h, w, 3), np.float32)
+        for i in range(min(vis.shape[0], SLOTS)):
+            m = vis[i] > 0
+            if not m.any():
+                continue
+            labels[m] = 1 + i
+            centers[i] = xyz[m].mean(axis=0)
+            offsets[m] = centers[i] - xyz[m]
+            valid[i] = True
+        out["rgb"].append(standardize_image(rgb).astype(np.float32))
+        out["xyz"].append(xyz.astype(np.float32))
+        out["labels"].append(labels)
+        out["centers"].append(centers)
+        out["valid"].append(valid)
+        out["offsets"].append(offsets)
+    return {k: np.stack(v) for k, v in out.items()}
+
+
+def _stage(pool):
+    """Upload the whole scene pool to the device ONCE; steps gather by
+    on-device index (the axon transport never frees per-step H2D payloads
+    host-side — see .claude/skills/verify)."""
+    import jax.numpy as jnp
+
+    return {k: jnp.asarray(v) for k, v in pool.items()}
+
+
+def _fit_loop(step, n_scenes, args, save_fn):
+    """Shared driver: shuffled scene order, periodic logging + checkpoints.
+    `step(it, scene_index)` returns (total_loss, parts_dict)."""
+    import numpy as np
+
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(n_scenes)
+    cursor = 0
+    t0 = time.time()
+    for it in range(1, args.max_iter + 1):
+        if cursor >= len(order):
+            order = rng.permutation(n_scenes)
+            cursor = 0
+        loss, parts = step(it, int(order[cursor]))
+        cursor += 1
+        if it % args.log_period == 0 or it == args.max_iter:
+            detail = " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(parts.items()))
+            print(f"iter {it}/{args.max_iter} total={float(loss):.4f} {detail} "
+                  f"({it / (time.time() - t0):.2f} it/s)", flush=True)
+        if it % args.checkpoint_period == 0 or it == args.max_iter:
+            save_fn(it)
+            print(f"checkpoint saved at {it}", flush=True)
+
+
+def train_uoisnet3d(args):
+    """DSN + RRN joint recipe (uois/src/train.py DSNTrainer + RRNTrainer):
+    one jitted step trains both nets on a scene — the DSN on the full
+    reference objective over XYZ, the RRN on weighted BCE over a
+    morphology-perturbed initial mask of one random instance."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.uois_net import (
+        DepthSeedingNetwork,
+        RegionRefinementNetwork,
+        dsn_train_losses,
+        rrn_loss,
+    )
+    from quber_tpu.ops import morphology
+    from quber_tpu.train.checkpoint import save_params
+
+    pool = _stage(make_labeled_scenes(args.size, args.height, args.width,
+                                      args.seed, tuple(args.depth_range)))
+    dsn = DepthSeedingNetwork()
+    rrn = RegionRefinementNetwork()
+    d_vars = jax.jit(dsn.init)(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.height, args.width, 3)))
+    r_vars = jax.jit(rrn.init)(
+        jax.random.PRNGKey(args.seed + 1),
+        jnp.zeros((1, args.height, args.width, 4)))
+    tx = optax.adam(args.lr)
+    params = {"dsn": d_vars, "rrn": r_vars}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jstep(params, opt_state, idx, key):
+        rgb = pool["rgb"][idx]
+        xyz = pool["xyz"][idx]
+        labels = pool["labels"][idx]
+        centers = pool["centers"][idx]
+        valid = pool["valid"][idx]
+        off_t = pool["offsets"][idx]
+        k_cl, k_inst, k_jit = jax.random.split(key, 3)
+        # one random valid instance for the RRN, mask jittered by a random
+        # dilate/erode (the reference trains the RRN on perturbed masks)
+        probs = valid / jnp.maximum(valid.sum(), 1)
+        inst = jax.random.choice(k_inst, SLOTS, (), p=probs)
+        gt_mask = (labels == 1 + inst).astype(jnp.float32)
+        jitter = jax.random.randint(k_jit, (), 0, 3)
+        perturbed = jax.lax.switch(jitter, [
+            lambda m: m,
+            lambda m: morphology.dilate(m[None], 2)[0],
+            lambda m: morphology.erode(m[None], 2)[0],
+        ], gt_mask)
+
+        def loss_fn(p):
+            fg_logits, offsets = dsn.apply(p["dsn"], xyz[None])
+            dl = dsn_train_losses(
+                fg_logits[0], offsets[0], xyz, off_t, labels, centers, valid,
+                k_cl, object_label=1, sigma=args.gms_sigma, delta=args.gms_delta)
+            rin = jnp.concatenate([rgb, perturbed[..., None]], axis=-1)
+            rl = rrn_loss(rrn.apply(p["rrn"], rin[None])[0, ..., 0], gt_mask)
+            losses = dict(dl, loss_rrn=rl)
+            return sum(losses.values()), losses
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss, parts
+
+    dsn_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt_dsn"))
+    rrn_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt_rrn"))
+    os.makedirs(dsn_dir, exist_ok=True)
+    os.makedirs(rrn_dir, exist_ok=True)
+    state = {"params": params, "opt": opt_state}
+
+    def step(it, idx):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), it)
+        state["params"], state["opt"], loss, parts = jstep(
+            state["params"], state["opt"], idx, key)
+        return loss, parts
+
+    def save(it):
+        save_params(dsn_dir, state["params"]["dsn"], step=it)
+        save_params(rrn_dir, state["params"]["rrn"], step=it)
+
+    _fit_loop(step, args.size, args, save)
+
+
+def train_ucn(args):
+    """UCN metric-learning recipe: per-pixel embeddings pulled to their
+    instance prototype and pushed from the others
+    (quber_tpu/models/ucn.prototype_metric_loss; the reference trains this
+    in the UnseenObjectClustering submodule, absent from the snapshot)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.ucn import UCNEmbeddingNet, prototype_metric_loss
+    from quber_tpu.train.checkpoint import save_params
+
+    pool = _stage(make_labeled_scenes(args.size, args.height, args.width,
+                                      args.seed, tuple(args.depth_range)))
+    model = UCNEmbeddingNet()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.height, args.width, 3)),
+        jnp.zeros((1, args.height, args.width, 3)))
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def jstep(variables, opt_state, idx):
+        def loss_fn(v):
+            emb = model.apply(v, pool["rgb"][idx][None], pool["xyz"][idx][None])
+            loss, parts = prototype_metric_loss(
+                emb, pool["labels"][idx][None], max_instances=SLOTS + 1)
+            return loss, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss, parts
+
+    ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = {"v": variables, "opt": opt_state}
+
+    def step(it, idx):
+        state["v"], state["opt"], loss, parts = jstep(state["v"], state["opt"], idx)
+        return loss, parts
+
+    _fit_loop(step, args.size, args,
+              lambda it: save_params(ckpt_dir, state["v"], step=it))
+
+
+def train_msmformer(args):
+    """MSMFormer set-prediction recipe: Hungarian-matched mask BCE+dice +
+    objectness (quber_tpu/models/msmformer.msmformer_set_loss, the
+    Mask2Former criterion role)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.msmformer import MSMFormer, msmformer_set_loss
+    from quber_tpu.train.checkpoint import save_params
+
+    pool = _stage(make_labeled_scenes(args.size, args.height, args.width,
+                                      args.seed, tuple(args.depth_range)))
+    model = MSMFormer(dtype=jnp.bfloat16)  # matches MSMFormerBaseModel
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.height, args.width, 3)),
+        jnp.zeros((1, args.height, args.width, 3)))
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def jstep(variables, opt_state, idx):
+        labels = pool["labels"][idx]
+        # gt mask stack at the mask-logit stride (H/4)
+        gt = (labels[::4, ::4][None] == 1 + jnp.arange(SLOTS)[:, None, None])
+
+        def loss_fn(v):
+            out = model.apply(v, pool["rgb"][idx][None], pool["xyz"][idx][None])
+            losses = msmformer_set_loss(
+                out, gt.astype(jnp.float32)[None], pool["valid"][idx][None])
+            return sum(losses.values()), losses
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss, parts
+
+    ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = {"v": variables, "opt": opt_state}
+
+    def step(it, idx):
+        state["v"], state["opt"], loss, parts = jstep(state["v"], state["opt"], idx)
+        return loss, parts
+
+    _fit_loop(step, args.size, args,
+              lambda it: save_params(ckpt_dir, state["v"], step=it))
+
+
+def make_rice_scenes(n, h, w, seed, depth_range, slots):
+    """Scene pools for the NodeScorer trainer: image6 (BGR/255 + normalized
+    depth/255, the exact RICERefiner.predict encoding), the GT hypothesis
+    mask stack, and a corrupted hypothesis from the data-generation
+    perturbation family. Corrupted nodes that still match a GT mask at
+    IoU > 0.75 are dropped from the "bad" set — only genuinely implausible
+    nodes are pushed toward 0."""
+    import numpy as np
+
+    from quber_tpu.data.perturb import mask_iou, perturb_masks
+    from quber_tpu.data.synthetic import render_scene
+    from quber_tpu.ops.preprocess import normalize_depth
+
+    rng = np.random.RandomState(seed)
+    out = {k: [] for k in ("image6", "good", "gvalid", "bad", "bvalid")}
+    for _ in range(n):
+        rgb, depth_mm, vis = render_scene(rng, h, w, depth_range=depth_range)
+        # cv2.imread gives BGR at eval time; the synthetic colors are
+        # channel-symmetric but keep the order consistent anyway
+        image6 = np.concatenate([
+            rgb[..., ::-1].astype(np.float32) / 255.0,
+            normalize_depth(depth_mm.astype(np.float32),
+                            depth_range[0], depth_range[1]) / 255.0,
+        ], axis=-1)
+        gt = [m.astype(np.uint8) for m in vis if m.any()]
+        pert = perturb_masks(np.asarray(gt), rng, target_iou=(0.5, 0.85))
+        good = np.zeros((slots, h, w), np.float32)
+        gvalid = np.zeros((slots,), bool)
+        for i, m in enumerate(gt[:slots]):
+            good[i], gvalid[i] = m, True
+        bad = np.zeros((slots, h, w), np.float32)
+        bvalid = np.zeros((slots,), bool)
+        j = 0
+        for m in pert:
+            if j >= slots or not m.any():
+                continue
+            if max((mask_iou(m, g) for g in gt), default=0.0) > 0.75:
+                continue
+            bad[j], bvalid[j] = m, True
+            j += 1
+        out["image6"].append(image6.astype(np.float32))
+        out["good"].append(good)
+        out["gvalid"].append(gvalid)
+        out["bad"].append(bad)
+        out["bvalid"].append(bvalid)
+    return {k: np.stack(v) for k, v in out.items()}
+
+
+def train_rice(args):
+    """RICE NodeScorer recipe (the SGS-Net role; RICE submodule empty in the
+    reference snapshot, built from the published method): rank GT hypothesis
+    nodes above corrupted-hypothesis nodes, with crops produced by the SAME
+    hypothesis_node_crops path the CEM/greedy search scores at eval time."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.rice import (
+        NodeScorer,
+        RICERefiner,
+        hypothesis_node_crops,
+        node_scorer_loss,
+    )
+    from quber_tpu.train.checkpoint import save_params
+
+    slots = RICERefiner.MAX_INST
+    pool = _stage(make_rice_scenes(args.size, args.height, args.width,
+                                   args.seed, tuple(args.depth_range), slots))
+    scorer = NodeScorer()
+    crop = RICERefiner.CROP
+    variables = jax.jit(scorer.init)(
+        jax.random.PRNGKey(args.seed), jnp.zeros((1, crop, crop, 6)))
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def jstep(variables, opt_state, idx):
+        image6 = pool["image6"][idx]
+        gc, g_ok = hypothesis_node_crops(
+            image6, pool["good"][idx], pool["gvalid"][idx], crop=crop)
+        bc, b_ok = hypothesis_node_crops(
+            image6, pool["bad"][idx], pool["bvalid"][idx], crop=crop)
+
+        def loss_fn(v):
+            losses = node_scorer_loss(scorer.apply(v, gc), g_ok,
+                                      scorer.apply(v, bc), b_ok)
+            return sum(losses.values()), losses
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss, parts
+
+    ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = {"v": variables, "opt": opt_state}
+
+    def step(it, idx):
+        state["v"], state["opt"], loss, parts = jstep(state["v"], state["opt"], idx)
+        return loss, parts
+
+    _fit_loop(step, args.size, args,
+              lambda it: save_params(ckpt_dir, state["v"], step=it))
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model", choices=["uoaisnet"], default="uoaisnet")
+    parser.add_argument("--model",
+                        choices=["uoaisnet", "uoisnet3d", "ucn", "msmformer",
+                                 "rice"],
+                        default="uoaisnet")
     parser.add_argument("--size", type=int, default=192,
                         help="number of pre-rendered scenes")
     parser.add_argument("--height", type=int, default=480)
@@ -73,9 +444,25 @@ def main():
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--log-period", type=int, default=50)
     parser.add_argument("--checkpoint-period", type=int, default=500)
-    parser.add_argument("--output-dir", default="output/uoaisnet_synth")
+    parser.add_argument("--output-dir", default="")
     parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument("--gms-sigma", type=float, default=0.02,
+                        help="uoisnet3d: GBMS kernel bandwidth (uois config)")
+    parser.add_argument("--gms-delta", type=float, default=0.1,
+                        help="uoisnet3d: cluster-loss push margin")
     args = parser.parse_args()
+    if not args.output_dir:
+        args.output_dir = f"output/{args.model}_synth"
+
+    from quber_tpu.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.model != "uoaisnet":
+        print(f"rendering {args.size} scenes ...", flush=True)
+        {"uoisnet3d": train_uoisnet3d, "ucn": train_ucn, "rice": train_rice,
+         "msmformer": train_msmformer}[args.model](args)
+        return
 
     import numpy as np
 
@@ -84,10 +471,7 @@ def main():
     import optax
 
     from quber_tpu.models.uoais_net import UOAISNet, uoais_losses
-    from quber_tpu.profiling import enable_compilation_cache
     from quber_tpu.train.checkpoint import save_params
-
-    enable_compilation_cache()
 
     ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt"))
     os.makedirs(ckpt_dir, exist_ok=True)
