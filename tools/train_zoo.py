@@ -113,7 +113,9 @@ def make_labeled_scenes(n, h, w, seed, depth_range):
 def _stage(pool):
     """Upload the whole scene pool to the device ONCE; steps gather by
     on-device index (the axon transport never frees per-step H2D payloads
-    host-side — see .claude/skills/verify)."""
+    host-side — see .claude/skills/verify). The staged pool must be PASSED
+    to the jitted step as an argument, never closed over: captured device
+    arrays lower as constants (gigabytes into every compile payload)."""
     import jax.numpy as jnp
 
     return {k: jnp.asarray(v) for k, v in pool.items()}
@@ -177,7 +179,7 @@ def train_uoisnet3d(args):
     opt_state = tx.init(params)
 
     @jax.jit
-    def jstep(params, opt_state, idx, key):
+    def jstep(params, opt_state, pool, idx, key):
         rgb = pool["rgb"][idx]
         xyz = pool["xyz"][idx]
         labels = pool["labels"][idx]
@@ -220,7 +222,7 @@ def train_uoisnet3d(args):
     def step(it, idx):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), it)
         state["params"], state["opt"], loss, parts = jstep(
-            state["params"], state["opt"], idx, key)
+            state["params"], state["opt"], pool, idx, key)
         return loss, parts
 
     def save(it):
@@ -253,7 +255,7 @@ def train_ucn(args):
     opt_state = tx.init(variables)
 
     @jax.jit
-    def jstep(variables, opt_state, idx):
+    def jstep(variables, opt_state, pool, idx):
         def loss_fn(v):
             emb = model.apply(v, pool["rgb"][idx][None], pool["xyz"][idx][None])
             loss, parts = prototype_metric_loss(
@@ -269,7 +271,8 @@ def train_ucn(args):
     state = {"v": variables, "opt": opt_state}
 
     def step(it, idx):
-        state["v"], state["opt"], loss, parts = jstep(state["v"], state["opt"], idx)
+        state["v"], state["opt"], loss, parts = jstep(
+            state["v"], state["opt"], pool, idx)
         return loss, parts
 
     _fit_loop(step, args.size, args,
@@ -298,7 +301,7 @@ def train_msmformer(args):
     opt_state = tx.init(variables)
 
     @jax.jit
-    def jstep(variables, opt_state, idx):
+    def jstep(variables, opt_state, pool, idx):
         labels = pool["labels"][idx]
         # gt mask stack at the mask-logit stride (H/4)
         gt = (labels[::4, ::4][None] == 1 + jnp.arange(SLOTS)[:, None, None])
@@ -318,7 +321,8 @@ def train_msmformer(args):
     state = {"v": variables, "opt": opt_state}
 
     def step(it, idx):
-        state["v"], state["opt"], loss, parts = jstep(state["v"], state["opt"], idx)
+        state["v"], state["opt"], loss, parts = jstep(
+            state["v"], state["opt"], pool, idx)
         return loss, parts
 
     _fit_loop(step, args.size, args,
@@ -401,7 +405,7 @@ def train_rice(args):
     opt_state = tx.init(variables)
 
     @jax.jit
-    def jstep(variables, opt_state, idx):
+    def jstep(variables, opt_state, pool, idx):
         image6 = pool["image6"][idx]
         gc, g_ok = hypothesis_node_crops(
             image6, pool["good"][idx], pool["gvalid"][idx], crop=crop)
@@ -422,7 +426,8 @@ def train_rice(args):
     state = {"v": variables, "opt": opt_state}
 
     def step(it, idx):
-        state["v"], state["opt"], loss, parts = jstep(state["v"], state["opt"], idx)
+        state["v"], state["opt"], loss, parts = jstep(
+            state["v"], state["opt"], pool, idx)
         return loss, parts
 
     _fit_loop(step, args.size, args,
