@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from quber_tpu import transport_native as _native
 from quber_tpu.models.mask_refiner import MaskRefiner, MaskRefinerConfig
 from quber_tpu.ops.encoding import encode_initial_masks
 from quber_tpu.ops.grouping import get_panoptic_segmentation
@@ -430,11 +431,18 @@ class MaskRefinerPredictor:
         cfg = self.config
         h, w, n = cfg.height, cfg.width, self.max_instances
         buf = np.zeros((self._in_bytes,), np.uint8)
-        img = buf[: self._img_bytes].reshape(h, w, 4)
-        img[..., :3] = rgb_img
         # depth is stored mono and replicated to 3 channels on device
         depth_img = np.asarray(depth_img)
-        img[..., 3] = depth_img[..., 0] if depth_img.ndim == 3 else depth_img
+        dmono = depth_img[..., 0] if depth_img.ndim == 3 else depth_img
+        if _native.available():
+            # fused interleave (csrc/codec.cpp pack_rgbd)
+            _native.pack_rgbd(np.asarray(rgb_img, np.uint8),
+                              np.asarray(dmono, np.uint8),
+                              buf[: self._img_bytes])
+        else:
+            img = buf[: self._img_bytes].reshape(h, w, 4)
+            img[..., :3] = rgb_img
+            img[..., 3] = dmono
         count = min(len(perturbed_masks), n)
         # pack only the used instance rows; the rest of the buffer stays zero
         mask_region = buf[self._img_bytes : self._img_bytes + self._mask_bytes]
@@ -457,7 +465,18 @@ class MaskRefinerPredictor:
         with nibble 0b1000 (-8) reserved as an escape marker whose full
         residual byte is appended densely in scan order. Returns the
         [n_esc u32 | nibbles 3hw/2 | esc u8 x max_rgb_esc] block, or None
-        when escapes exceed the budget (incompressible RGB)."""
+        when escapes exceed the budget (incompressible RGB).
+
+        Packing runs per frame on the producer thread; the single-pass C++
+        codec (csrc/codec.cpp via quber_tpu/transport_native.py, ~4x the
+        multi-pass numpy below) is used when built, with this numpy body
+        kept as the byte-identical fallback."""
+        if _native.available():
+            block = np.empty((self._rgb_codec_block,), np.uint8)
+            n_esc = _native.rgb_nibble_encode(
+                np.asarray(rgb_img, np.uint8), self.max_rgb_esc, block
+            )
+            return None if n_esc < 0 else block
         rgbp = np.ascontiguousarray(
             np.asarray(rgb_img, np.uint8).transpose(2, 0, 1)
         ).reshape(-1)
@@ -500,6 +519,9 @@ class MaskRefinerPredictor:
         depth_img = np.asarray(depth_img)
         dmono = depth_img[..., 0] if depth_img.ndim == 3 else depth_img
         dflat = dmono.reshape(-1).astype(np.uint8)
+        if _native.available():
+            return self._pack_inputs_rle_native(rgb_img, dflat,
+                                                perturbed_masks, rgb_codec)
         delta = dflat.copy()
         delta[1:] -= dflat[:-1]  # u8 wraparound == mod-256 delta
         dpos = np.flatnonzero(delta)
@@ -555,6 +577,58 @@ class MaskRefinerPredictor:
         valid = np.zeros((n,), bool)
         valid[:count] = True
         buf[o + 8 * r :] = np.packbits(valid)
+        return buf
+
+    def _pack_inputs_rle_native(self, rgb_img, dflat, perturbed_masks,
+                                rgb_codec: bool):
+        """Single-pass C++ pack (csrc/codec.cpp): byte-identical to the
+        numpy body of _pack_inputs_rle, writing each block straight into
+        the transfer buffer. Ordered cheapest-first so budget-overflow
+        fallbacks (return None) waste minimal work: depth -> mask runs ->
+        rgb."""
+        cfg = self.config
+        h, w, n = cfg.height, cfg.width, self.max_instances
+        r = self.max_in_runs
+        dmax = self.max_depth_nz
+        total = n * h * w
+        buf = np.empty(
+            (self._in_bytes_rlec if rgb_codec else self._in_bytes_rle,),
+            np.uint8,
+        )
+        o = self._rgb_codec_block if rgb_codec else self._rgb_bytes
+        kd = _native.depth_delta_encode(
+            dflat, dmax, h * w,
+            buf[o + 4 : o + 4 + 4 * dmax],
+            buf[o + 4 + 4 * dmax : o + self._depth_block],
+        )
+        if kd < 0:
+            return None
+        buf[o : o + 4] = np.array([kd], np.uint32).view(np.uint8)
+        ro = o + self._depth_block
+        count = min(len(perturbed_masks), n)
+        if count:
+            stack = np.asarray(perturbed_masks[:count])
+            kr = _native.mask_runs_encode(
+                stack, r, total, buf[ro : ro + 4 * r],
+                buf[ro + 4 * r : ro + 8 * r],
+            )
+            if kr < 0:
+                return None
+        else:
+            sent = np.full((2 * r,), total, np.uint32)
+            buf[ro : ro + 8 * r] = sent.view(np.uint8)
+        if rgb_codec:
+            ne = _native.rgb_nibble_encode(
+                np.asarray(rgb_img, np.uint8), self.max_rgb_esc,
+                buf[: self._rgb_codec_block],
+            )
+            if ne < 0:
+                return None
+        else:
+            buf[: self._rgb_bytes] = np.asarray(rgb_img, np.uint8).reshape(-1)
+        valid = np.zeros((n,), bool)
+        valid[:count] = True
+        buf[ro + 8 * r :] = np.packbits(valid)
         return buf
 
     def _unpack_buf_rle(self, buf, rgb_codec: bool = False):

@@ -1,0 +1,142 @@
+"""Native (C++) host-side transport codecs: ctypes binding to
+csrc/libquber_codec.so with byte-identical numpy fallbacks in
+quber_tpu/predictor.py.
+
+The serving input path packs each frame on the producer thread
+(predictor._pack_inputs_rle): a planar 4-bit delta codec for RGB, a sparse
+mod-256 delta codec for depth, and run boundaries for the initial-mask
+stack. At the chip's ~145 FPS refine throughput the host budget is
+< 7 ms/frame on a PCIe host; the numpy pack makes several full passes over
+the 0.9 MB RGB plane and the N*H*W mask stack per frame, while the C++
+codecs are one fused pass each, writing straight into the transfer buffer.
+
+This mirrors the reference's native input pipeline (its loaders/ext ops are
+C++/CUDA; here the device side is XLA/Pallas and the host side is this).
+
+API (all return None when the native library is unavailable, letting the
+caller fall back to numpy; all write into caller-provided buffers):
+    rgb_nibble_encode(rgb_hwc, max_esc, out_block) -> n_esc | -1 | None
+    depth_delta_encode(depth_flat, dmax, sentinel, pos_bytes, val) -> k|-1|None
+    mask_runs_encode(flat, max_runs, sentinel, starts_b, ends_b) -> k|-1|None
+    pack_rgbd(rgb_hwc, depth_mono, out_hw4) -> True | None
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(_U8P)
+
+
+def _load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "csrc",
+                     "libquber_codec.so")
+    )
+    if not os.path.exists(path):
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(path)], check=True,
+                capture_output=True,
+            )
+        except Exception:
+            _LIB = False
+            return False
+    try:
+        lib = ctypes.CDLL(path)
+        lib.rgb_nibble_encode.restype = ctypes.c_int
+        lib.rgb_nibble_encode.argtypes = [
+            _U8P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _U8P,
+            ctypes.c_int64,
+        ]
+        lib.depth_delta_encode.restype = ctypes.c_int
+        lib.depth_delta_encode.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int, ctypes.c_uint32, _U8P, _U8P,
+        ]
+        lib.mask_runs_encode.restype = ctypes.c_int
+        lib.mask_runs_encode.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int, ctypes.c_uint32, _U8P, _U8P,
+        ]
+        lib.pack_rgbd.restype = None
+        lib.pack_rgbd.argtypes = [_U8P, _U8P, ctypes.c_int64, _U8P]
+        _LIB = lib
+    except OSError:
+        _LIB = False
+    return _LIB
+
+
+def available() -> bool:
+    return bool(_load_lib())
+
+
+def rgb_nibble_encode(rgb_hwc: np.ndarray, max_esc: int,
+                      out_block: np.ndarray):
+    """Write the [n_esc u32 | nibbles | escapes] block; n_esc or -1."""
+    lib = _load_lib()
+    if not lib:
+        return None
+    rgb = np.ascontiguousarray(rgb_hwc, np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"rgb must be (h, w, 3) uint8, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    return lib.rgb_nibble_encode(_ptr(rgb), h, w, max_esc, _ptr(out_block),
+                                 out_block.nbytes)
+
+
+def depth_delta_encode(depth_flat: np.ndarray, dmax: int, sentinel: int,
+                       pos_bytes: np.ndarray, val: np.ndarray):
+    """pos_bytes: uint8 view of the u32 position block (4*dmax bytes)."""
+    lib = _load_lib()
+    if not lib:
+        return None
+    d = np.ascontiguousarray(depth_flat, np.uint8)
+    if pos_bytes.size != 4 * dmax or val.size != dmax:
+        raise ValueError("pos/val buffers must hold exactly dmax entries")
+    return lib.depth_delta_encode(_ptr(d), d.size, dmax, sentinel,
+                                  _ptr(pos_bytes), _ptr(val))
+
+
+def mask_runs_encode(flat: np.ndarray, max_runs: int, sentinel: int,
+                     starts_bytes: np.ndarray, ends_bytes: np.ndarray):
+    """starts/ends_bytes: uint8 views of the u32 run blocks (4*r each)."""
+    lib = _load_lib()
+    if not lib:
+        return None
+    f = np.ascontiguousarray(flat).reshape(-1)
+    if f.dtype == np.bool_:
+        f = f.view(np.uint8)  # free: C treats any nonzero byte as set
+    elif f.dtype != np.uint8:
+        f = (f != 0).view(np.uint8)
+    if starts_bytes.size != 4 * max_runs or ends_bytes.size != 4 * max_runs:
+        raise ValueError("starts/ends buffers must hold exactly max_runs u32")
+    return lib.mask_runs_encode(_ptr(f), f.size, max_runs, sentinel,
+                                _ptr(starts_bytes), _ptr(ends_bytes))
+
+
+def pack_rgbd(rgb_hwc: np.ndarray, depth_mono: np.ndarray,
+              out_hw4: np.ndarray):
+    lib = _load_lib()
+    if not lib:
+        return None
+    rgb = np.ascontiguousarray(rgb_hwc, np.uint8)
+    d = np.ascontiguousarray(depth_mono, np.uint8)
+    if rgb.size != 3 * d.size or out_hw4.size != 4 * d.size:
+        raise ValueError(
+            f"shape mismatch: rgb {rgb.shape}, depth {d.shape}, "
+            f"out {out_hw4.size} bytes (expect mono depth + (h, w, 3) rgb)"
+        )
+    lib.pack_rgbd(_ptr(rgb), _ptr(d), d.size, _ptr(out_hw4))
+    return True
