@@ -179,10 +179,18 @@ class RICERefiner:
         )
 
     def _score_hypothesis(self, params, image6, masks, valid):
-        """Mean per-node score over valid masks (the SGS role)."""
+        """SUMMED per-node score over valid masks (the SGS role).
+
+        Sum, not mean: the NodeScorer is trained to give plausible nodes
+        positive logits and implausible ones negative (node_scorer_loss),
+        so the hypothesis total rises exactly when an op removes/creates
+        net-implausible structure. A mean is exploitable — deleting ANY
+        below-average node raises it, so the search learns to cull true
+        objects (measured: perturbed-GT Objects F 93 -> 76 on the synthetic
+        benchmark under mean scoring; the sum restores monotone-repair)."""
         crops, ok = hypothesis_node_crops(image6, masks, valid, crop=self.CROP)
         node_scores = self.scorer.apply(params, crops)
-        return jnp.sum(node_scores * ok) / jnp.maximum(jnp.sum(ok), 1.0)
+        return jnp.sum(node_scores * ok)
 
     # ---- candidate graph operations (fixed-shape) ----
 

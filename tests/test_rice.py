@@ -98,3 +98,33 @@ def test_greedy_search_still_available(rng):
                                jax.random.PRNGKey(0))
     assert np.asarray(out_m).shape == (4, 32, 32)
     assert np.asarray(out_v).sum() >= 1
+
+
+def test_hypothesis_score_is_summed_not_meaned(rng):
+    """Delete-exploit regression: the hypothesis score must be the SUM of
+    node scores. Under a mean, deleting any below-average node raises the
+    score, so the search culls true objects (measured on the synthetic
+    benchmark: perturbed-GT Objects F 93 -> 76)."""
+    import jax.numpy as jnp
+
+    ref = _tiny_refiner("greedy")
+    image6, masks, valid = _tiny_scene(rng)
+    image6, masks, valid = (jnp.asarray(image6), jnp.asarray(masks),
+                            jnp.asarray(valid))
+    from quber_tpu.models.rice import hypothesis_node_crops
+
+    crops, ok = hypothesis_node_crops(image6, masks, valid, crop=ref.CROP)
+    node = ref.scorer.apply(ref.params, crops)
+    s = ref._score_hypothesis(ref.params, image6, masks, valid)
+    np.testing.assert_allclose(
+        float(s), float(jnp.sum(node * ok)), rtol=1e-5
+    )
+    # removing a positive-scoring node must strictly lower the score
+    node_np, ok_np = np.asarray(node), np.asarray(ok)
+    pos = [i for i in range(len(node_np)) if ok_np[i] and node_np[i] > 0]
+    if pos:
+        i = pos[0]
+        m2 = masks.at[i].set(0)
+        v2 = valid.at[i].set(False)
+        s2 = ref._score_hypothesis(ref.params, image6, m2, v2)
+        assert float(s2) < float(s)
