@@ -25,7 +25,12 @@ def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
 def save_state(directory: str, state, step: int | None = None, max_to_keep: int = 5):
     mgr = _manager(directory, max_to_keep)
     step = int(state.step) if step is None else step
-    mgr.save(step, args=ocp.args.StandardSave(state))
+    # overwrite an existing step dir (DetectionCheckpointer semantics; orbax
+    # otherwise skips or raises, so a retrain into the same output dir would
+    # keep serving the old weights)
+    if step in mgr.all_steps():
+        mgr.delete(step)
+    mgr.save(step, args=ocp.args.StandardSave(state), force=True)
     mgr.wait_until_finished()
     mgr.close()
 
@@ -75,7 +80,10 @@ def _restore_portable(mgr: ocp.CheckpointManager, step: int):
 
 def save_params(directory: str, params: Any, step: int = 0):
     mgr = _manager(directory)
-    mgr.save(step, args=ocp.args.StandardSave({"params": params}))
+    # overwrite rather than skip/raise on an existing step (see save_state)
+    if step in mgr.all_steps():
+        mgr.delete(step)
+    mgr.save(step, args=ocp.args.StandardSave({"params": params}), force=True)
     mgr.wait_until_finished()
     mgr.close()
 

@@ -16,7 +16,8 @@ def main():
                         help="gt | empty | npy | perturbed-gt | uoaisnet | "
                              "uoaisnet-amodal | uoaisnet-pretrained | ucn | "
                              "ucn-zoomin | msmformer | msmformer-zoomin | "
-                             "msmformer-pretrained | uoisnet3d | sam | "
+                             "msmformer-pretrained | uoisnet3d | "
+                             "uoisnet3d-pretrained | sam | "
                              "sam-depth | detic | grounded-sam")
     parser.add_argument("--refiner-model", default="maskrefiner",
                         help="maskrefiner | maskrefiner-nofilter | identity | "

@@ -261,3 +261,18 @@ def test_device_target_step_runs(rng):
     new_state, metrics = step(state, bufs, jax.random.PRNGKey(0))
     assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
     assert int(new_state.step) == 1
+
+
+def test_checkpoint_same_step_overwrites(tmp_path):
+    """Retrain-into-same-dir regression: orbax skips (or raises on) an
+    existing step, so a retrained model would silently keep serving the old
+    weights; save_params/save_state must overwrite."""
+    import jax.numpy as jnp
+
+    from quber_tpu.train.checkpoint import restore_params, save_params
+
+    d = str(tmp_path / "ckpt")
+    save_params(d, {"w": jnp.asarray([1.0, 2.0])}, step=100)
+    save_params(d, {"w": jnp.asarray([9.0, 9.0])}, step=100)
+    out = restore_params(d)
+    np.testing.assert_allclose(np.asarray(out["w"]), [9.0, 9.0])
