@@ -89,17 +89,27 @@ class PerturbedGT:
     """GT masks perturbed with the data-generation corruptions — exercises the
     refiner with controlled error injection without any learned base model."""
 
-    def __init__(self, dataset: str = "OSD", seed: int = 0, target_iou=(0.6, 0.9)):
+    def __init__(self, dataset: str = "OSD", seed: int = 0,
+                 target_iou=(0.6, 0.9), ratios: dict | None = None):
         self.gt = GT(dataset)
         self.rng = np.random.RandomState(seed)
         self.target_iou = target_iou
+        self.ratios = ratios
 
     def predict(self, rgb_path, depth_path):
         from quber_tpu.data.perturb import perturb_masks
 
         masks, fg, t = self.gt.predict(rgb_path, depth_path)
-        masks = perturb_masks(masks, self.rng, target_iou=self.target_iou)
+        masks = perturb_masks(masks, self.rng, target_iou=self.target_iou,
+                              ratios=self.ratios)
         return masks, fg, t
+
+
+# graph-structure corruptions only (guaranteed per-scene FP / split / merge,
+# no boundary jitter): the error family RICE-class refiners repair — their
+# ops edit the segmentation GRAPH, not mask boundaries
+STRUCTURAL_RATIOS = {"fp": 1.0, "over": 1.0, "under": 1.0, "delete": 0.0,
+                     "boundary": 0.0}
 
 
 def build_base_model(name: str, dataset: str, npy_folder: str = ""):
@@ -111,6 +121,8 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
         return LoadNpyBaseModel(npy_folder)
     if name == "perturbed-gt":
         return PerturbedGT(dataset)
+    if name == "perturbed-gt-structural":
+        return PerturbedGT(dataset, ratios=STRUCTURAL_RATIOS)
     if name in ("ucn", "ucn-zoomin"):
         from quber_tpu.models.ucn import UCNBaseModel
 

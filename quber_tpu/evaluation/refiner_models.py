@@ -187,7 +187,13 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
                     params = restore_params(ckpt)
                 except FileNotFoundError:
                     params = None
-        return RICERefiner(params=params, dataset=dataset)
+        # QUBER_RICE_SEARCH=cem selects the sampling-tree; the greedy
+        # hill-climb is the default because it accepts each op on its OWN
+        # margin-gated score delta — CEM accepts whole trajectories, which
+        # lets a clear repair carry collateral bad ops along (measured:
+        # greedy preserves true objects better on the synthetic benchmark)
+        search = os.environ.get("QUBER_RICE_SEARCH", "greedy")
+        return RICERefiner(params=params, dataset=dataset, search=search)
     if name in ("sam", "hq-sam", "hq-sam-pretrained"):
         from quber_tpu.models.sam_refiner import SAMHQRefiner
 
