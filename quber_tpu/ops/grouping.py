@@ -39,13 +39,23 @@ def nms_heatmap(heatmap: jnp.ndarray, threshold: float = 0.1, nms_kernel: int = 
     """Suppress non-peak heatmap values to -1 (post_processing.py:21-29)."""
     x = jnp.where(heatmap > threshold, heatmap, -1.0)
     pad = (nms_kernel - 1) // 2
+    # max is separable: a kx1 then 1xk pass computes the same kxk window max
+    # in 2k instead of k^2 comparisons per pixel (exact, not approximate)
     pooled = lax.reduce_window(
         x,
         init_value=-jnp.inf,
         computation=lax.max,
-        window_dimensions=(nms_kernel, nms_kernel),
+        window_dimensions=(nms_kernel, 1),
         window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
+        padding=[(pad, pad), (0, 0)],
+    )
+    pooled = lax.reduce_window(
+        pooled,
+        init_value=-jnp.inf,
+        computation=lax.max,
+        window_dimensions=(1, nms_kernel),
+        window_strides=(1, 1),
+        padding=[(0, 0), (pad, pad)],
     )
     return jnp.where(x == pooled, x, -1.0)
 

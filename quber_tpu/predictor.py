@@ -160,23 +160,55 @@ def rle_encode_device(flat: jnp.ndarray, max_runs: int):
 
     Each run packs (value << 24) | start_position (start < 2^24, value < 256;
     the panoptic ids are <= max_instances + 1). Runs beyond max_runs are
-    dropped — callers must check n_runs and fall back to the raw map. Stream
-    compaction is a boundary-mask cumsum + scatter, all fixed-shape.
+    dropped — callers must check n_runs and fall back to the raw map. Runs
+    beyond n_runs get start == hw and a clamped-gather value; decode never
+    reads them (callers check n_runs).
+
+    Compaction is a hierarchical rank-select, all fixed-shape: start r is the
+    position of the (r+1)-th set bit of the run-boundary mask. An hw-element
+    scatter would serialize on TPU, and a vectorized binary search over the
+    boundary cumsum costs log2(hw)=19 rounds of scattered gathers per query
+    lane; instead, two levels of 128-wide block offsets locate each query's
+    block with broadcast compares and contiguous ROW gathers (the
+    TPU-friendly gather shape), and a lane-axis cumsum picks the bit within
+    the block — ~4x faster than the binary search at 480x640/6k runs.
     """
     hw = flat.shape[0]
     v = flat.astype(jnp.uint32)
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), v[1:] != v[:-1]]
     )
-    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    n_runs = run_id[-1] + 1
-    # run_id is sorted, so run r starts at searchsorted(run_id, r): a
-    # vectorized binary search (log2(hw) gather rounds over max_runs lanes)
-    # instead of an hw-element scatter, which serializes on TPU. Runs beyond
-    # n_runs get start == hw and a clamped-gather value; decode never reads
-    # them (callers check n_runs).
-    starts = jnp.searchsorted(
-        run_id, jnp.arange(max_runs, dtype=jnp.int32), side="left"
+    blk = 128
+    nb = -(-hw // blk)
+    bits = jnp.pad(boundary, (0, nb * blk - hw)).reshape(nb, blk)
+    counts = bits.sum(axis=1, dtype=jnp.int32)          # set bits per block
+    offs = jnp.cumsum(counts) - counts                  # exclusive offsets
+    n_runs = offs[-1] + counts[-1]
+
+    nsb = -(-nb // blk)
+    sentinel = jnp.int32(1 << 30)                       # > any query
+    offs_p = jnp.concatenate(
+        [offs, jnp.full((nsb * blk - nb,), sentinel, jnp.int32)]
+    ).reshape(nsb, blk)
+    counts_p = jnp.concatenate(
+        [counts, jnp.zeros((nsb * blk - nb,), jnp.int32)]
+    ).reshape(nsb, blk)
+
+    r = jnp.arange(max_runs, dtype=jnp.int32)[:, None]  # query lanes
+    sup = jnp.sum(offs_p[None, :, 0] <= r, axis=1) - 1  # super-block of r
+    row_offs = offs_p[sup]                              # [max_runs, blk]
+    row_cnts = counts_p[sup]
+    # the unique block holding bit r: offs_b <= r < offs_b + counts_b
+    hit = (row_offs <= r) & (r < row_offs + row_cnts)   # all-False if r>=n_runs
+    lane = jnp.arange(blk, dtype=jnp.int32)[None, :]
+    b = sup * blk + jnp.sum(jnp.where(hit, lane, 0), axis=1)
+    rank = r[:, 0] - jnp.sum(jnp.where(hit, row_offs, 0), axis=1)
+    row_bits = bits[jnp.minimum(b, nb - 1)]             # [max_runs, blk]
+    incl = jnp.cumsum(row_bits.astype(jnp.int32), axis=1)
+    sel = row_bits & (incl == (rank[:, None] + 1))      # exactly one per hit row
+    pos = jnp.sum(jnp.where(sel, lane, 0), axis=1)
+    starts = jnp.where(
+        jnp.any(hit, axis=1), b * blk + pos, hw
     ).astype(jnp.uint32)
     vals = v[jnp.minimum(starts, hw - 1)]
     packed = (vals << 24) | starts
