@@ -39,6 +39,11 @@ def main():
     parser.add_argument("--dropout-frac", type=float, default=0.002,
                         help="fraction of zero-depth sensor-dropout pixels "
                              "(exercises the inpaint path)")
+    parser.add_argument("--n-objects", type=int, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="objects per scene sampled uniformly in "
+                             "[LO, HI] (default: the renderer's 3-8); "
+                             "e.g. 12 20 renders cluttered scenes")
     args = parser.parse_args()
 
     import imageio.v2 as imageio
@@ -50,9 +55,11 @@ def main():
 
     rng = np.random.RandomState(args.seed)
     for i in range(args.n):
+        n_objects = (rng.randint(args.n_objects[0], args.n_objects[1] + 1)
+                     if args.n_objects else None)
         rgb, depth_mm, masks = render_scene(
             rng, args.height, args.width, depth_range=args.depth_range,
-            dropout_frac=args.dropout_frac,
+            dropout_frac=args.dropout_frac, n_objects=n_objects,
         )
         label = np.zeros(rgb.shape[:2], np.uint8)
         for k, m in enumerate(masks, start=1):
