@@ -133,17 +133,22 @@ def synthetic_records(
     depth_range=(2500, 15000),
     target_iou=(0.7, 0.95),
     dropout_frac: float = 0.0,
+    n_objects=None,
 ):
     """In-memory dataset records exercising the full mapper path (the
-    train_net.py --synthetic data source)."""
+    train_net.py --synthetic data source). `n_objects` is an optional
+    (lo, hi) range sampled per scene (default: the renderer's 3-8)."""
     from quber_tpu.data import rle
     from quber_tpu.data.perturb import perturb_masks
 
     rng = np.random.RandomState(seed)
     records = []
     for _ in range(n):
+        n_obj = (rng.randint(n_objects[0], n_objects[1] + 1)
+                 if n_objects else None)
         rgb, depth, masks = render_scene(rng, h, w, depth_range,
-                                         dropout_frac=dropout_frac)
+                                         dropout_frac=dropout_frac,
+                                         n_objects=n_obj)
         pert = perturb_masks(masks, rng, target_iou=target_iou)
         records.append({
             "gt_masks": masks,

@@ -75,3 +75,49 @@ def put_batch(batch, mesh: Mesh, axis_name: str = "data"):
         lambda x: jax.device_put(x, full if np.ndim(x) >= 2 else data_only),
         batch,
     )
+
+
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host data parallelism over DCN: one call before any JAX use.
+
+    The reference reaches multi-node through detectron2's launch args
+    (--num-machines/--machine-rank + a TCP dist_url rendezvous,
+    /root/reference/train_net.py:204-214). The JAX equivalent is
+    jax.distributed.initialize, after which jax.devices() spans every host
+    and the SAME 1-D mesh / train step works unchanged — XLA routes the
+    gradient all-reduce hierarchically (ICI within a host, DCN across).
+    Arguments default to cluster-autodetect (GKE/Cloud TPU metadata) or the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def put_batch_local_shard(batch, mesh: Mesh, axis_name: str = "data"):
+    """Multi-host twin of put_batch: each process contributes only its OWN
+    slice of the global batch (local batch size = global / num_processes).
+
+    jax.make_array_from_process_local_data assembles the global sharded
+    array from per-process host shards without any cross-host copy of the
+    full batch — the multi-host replacement for device_put (which would
+    need the whole global array on every host). Identical to put_batch in
+    a single-process run.
+    """
+    full = shard_batch(mesh, axis_name)
+    data_only = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            full if np.ndim(x) >= 2 else data_only, np.asarray(x)
+        ),
+        batch,
+    )

@@ -276,3 +276,24 @@ def test_checkpoint_same_step_overwrites(tmp_path):
     save_params(d, {"w": jnp.asarray([9.0, 9.0])}, step=100)
     out = restore_params(d)
     np.testing.assert_allclose(np.asarray(out["w"]), [9.0, 9.0])
+
+
+@pytest.mark.quick
+def test_put_batch_local_shard_matches_put_batch(rng):
+    # single-process equivalence of the multi-host batch feed: with one
+    # process, every shard is local, so put_batch_local_shard must assemble
+    # exactly the array device_put produces (train_net.py --multihost path)
+    from quber_tpu.parallel.mesh import put_batch_local_shard
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:8])
+    batch = {
+        "image": rng.rand(8, 16, 16, 6).astype(np.float32),
+        "flat": rng.rand(8).astype(np.float32),
+    }
+    a = put_batch(batch, mesh)
+    b = put_batch_local_shard(batch, mesh)
+    for k in batch:
+        assert a[k].sharding == b[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

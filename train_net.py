@@ -16,7 +16,8 @@ import os
 import time
 
 
-def synthetic_records(n, h, w, seed=0, depth_range=(2500, 15000)):
+def synthetic_records(n, h, w, seed=0, depth_range=(2500, 15000),
+                      n_objects=None):
     """In-memory dataset records exercising the full mapper path.
 
     Scenes are RENDERED (occlusion-aware superellipse objects over a tilted
@@ -28,7 +29,8 @@ def synthetic_records(n, h, w, seed=0, depth_range=(2500, 15000)):
     """
     from quber_tpu.data.synthetic import synthetic_records as _gen
 
-    return _gen(n, h, w, seed=seed, depth_range=depth_range)
+    return _gen(n, h, w, seed=seed, depth_range=depth_range,
+                n_objects=n_objects)
 
 
 class SyntheticMapper:
@@ -91,6 +93,10 @@ def main():
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated data (smoke/e2e test)")
     parser.add_argument("--synthetic-size", type=int, default=32)
+    parser.add_argument("--n-objects", type=int, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="--synthetic: objects per scene sampled in "
+                             "[LO, HI] (default: the renderer's 3-8)")
     parser.add_argument("--depth-range", type=float, nargs=2, default=None,
                         help="override INPUT.DEPTH_RANGE (mm); use 250 1500 "
                              "to match the eval harness's OSD depth "
@@ -114,6 +120,13 @@ def main():
                         help="spatial-partition factor: shard image height "
                         "over a second mesh axis (data x space); XLA inserts "
                         "the conv halo exchanges (parallel/mesh.make_mesh_2d)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host data parallelism over DCN: "
+                        "jax.distributed.initialize, mesh over the GLOBAL "
+                        "device set, each process feeding its local batch "
+                        "shard (parallel/mesh.initialize_multihost; the "
+                        "reference's --num-machines/--machine-rank launch, "
+                        "train_net.py:204-214)")
     parser.add_argument("--no-data-device-cache", action="store_true",
                         help="disable the device-resident packed-sample pool "
                              "for --synthetic --device-targets runs (the pool "
@@ -132,6 +145,11 @@ def main():
     from quber_tpu.train.checkpoint import restore_state, save_state
     from quber_tpu.train.loop import create_train_state, make_train_step
     from quber_tpu.profiling import enable_compilation_cache
+
+    if args.multihost:
+        from quber_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()  # must precede any backend use
 
     enable_compilation_cache()  # warm restarts skip the ~minutes step compile
 
@@ -159,7 +177,8 @@ def main():
     if args.synthetic:
         records = synthetic_records(args.synthetic_size, model_cfg.height,
                                     model_cfg.width,
-                                    depth_range=train_cfg.depth_range)
+                                    depth_range=train_cfg.depth_range,
+                                    n_objects=args.n_objects)
         mapper = SyntheticMapper(train_cfg, model_cfg)
     else:
         from quber_tpu.data.datasets import register_standard_datasets
@@ -206,6 +225,12 @@ def main():
     # forever, OOM-killing long runs — and takes the input pipeline off the
     # step's critical path entirely.
     device_pool = None
+    if args.multihost and args.synthetic and args.device_targets \
+            and not args.no_data_device_cache:
+        # the pool device_puts a replicated host array, which needs the
+        # process-local-shard assembly path on multi-host; keep the two
+        # features apart rather than special-case it
+        raise SystemExit("--multihost requires --no-data-device-cache")
     if args.synthetic and args.device_targets and not args.no_data_device_cache:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -240,7 +265,16 @@ def main():
         batches = make_dataloader(recs, mapper, train_cfg.batch_size,
                                   seed=train_cfg.seed, worker_count=args.workers)
     else:
-        batches = batch_iterator(records, mapper, train_cfg.batch_size, seed=train_cfg.seed)
+        # distinct per-process stream: each host contributes a different
+        # local shard of the global batch (global = batch_size x n_processes)
+        batches = batch_iterator(records, mapper, train_cfg.batch_size,
+                                 seed=train_cfg.seed + jax.process_index())
+
+    put = put_batch
+    if args.multihost:
+        from quber_tpu.parallel.mesh import put_batch_local_shard
+
+        put = put_batch_local_shard
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     t0 = time.time()
@@ -249,7 +283,7 @@ def main():
         if device_pool is not None:
             batch = device_pool()
         else:
-            batch = put_batch(next(batches), mesh)
+            batch = put(next(batches), mesh)
             if args.device_targets:
                 batch = batch["packed"]
         rng, step_rng = jax.random.split(rng)
