@@ -18,6 +18,8 @@ import tempfile
 import time
 import traceback
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def synth_scene(rng, h=480, w=640, n=6):
     import numpy as np
@@ -71,10 +73,15 @@ def main():
                   "uoaisnet-amodal", "uoaisnet-pretrained", "sam", "sam-depth"]
     refiner_names = ["maskrefiner-nofilter", "identity", "cascadepsp",
                      "rice", "sam", "hq-sam"]
+    # not in the default sweep (ViT-H is ~10x the compute of the rest of the
+    # zoo; maskrefiner/cascadepsp-rgbd duplicate their default-list siblings)
+    # but selectable explicitly via --models for targeted timing runs
+    extra_refiners = ["hq-sam-pretrained", "cascadepsp-rgbd", "maskrefiner"]
     if args.models:
         chosen = set(args.models.split(","))
         base_names = [n for n in base_names if n in chosen]
-        refiner_names = [n for n in refiner_names if n in chosen]
+        refiner_names = [n for n in refiner_names + extra_refiners
+                         if n in chosen]
 
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0]), "models": {}}
