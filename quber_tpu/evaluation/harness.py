@@ -189,12 +189,31 @@ def run_eval(
     avg_ms = 1000 * float(np.mean(timing)) if timing else 0.0
     std_ms = 1000 * float(np.std(timing)) if timing else 0.0
     print(f"Average refine time: {avg_ms:.2f} ms (std {std_ms:.2f})")
-    # timing artifact (the reference writes time_npy_OCID.json-style files)
+    # timing artifact (the reference writes time_npy_OCID.json-style files).
+    # Written next to the CSV so harness smoke runs with a scratch csv_path
+    # (tests, --limit probes) never touch a checked-in artifact; additionally
+    # a <= 1-timed-frame run must not clobber a real multi-frame measurement,
+    # and artifacts carry `n` so readers can judge them.
     try:
         import json
 
-        with open(f"time_{test_dataset}.json", "w") as f:
-            json.dump({"average": avg_ms / 1000, "std": std_ms / 1000}, f)
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(csv_path)) or ".",
+            f"time_{test_dataset}.json",
+        )
+        prev = None
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                prev = None
+        if len(timing) <= 1 and prev and prev.get("average", 0) > 0:
+            print(f"Keeping {path} (this run timed only {len(timing)} frame(s))")
+        else:
+            with open(path, "w") as f:
+                json.dump({"average": avg_ms / 1000, "std": std_ms / 1000,
+                           "n": len(timing)}, f)
     except OSError:
         pass
 

@@ -64,6 +64,25 @@ def test_empty_base(osd_dir, tmp_path):
     assert results["initial"]["Objects Precision"] == 1.0  # all-FN edge case
 
 
+def test_timing_artifact_guard(osd_dir, tmp_path):
+    """A multi-frame run writes time_<ds>.json (with n) next to the CSV; a
+    subsequent <=1-timed-frame smoke run must not clobber it (round-2
+    regression: smoke runs zeroed the committed artifact)."""
+    import json
+
+    csv = str(tmp_path / "out.csv")
+    run_eval(base_model="gt", refiner_model="identity", test_dataset="OSD",
+             dataset_path=osd_dir, csv_path=csv)
+    path = tmp_path / "time_OSD.json"
+    art = json.loads(path.read_text())
+    assert art["n"] == 2  # 3 frames, first timed frame dropped as warmup
+    path.write_text(json.dumps({"average": 0.5, "std": 0.1, "n": 99}))
+    run_eval(base_model="gt", refiner_model="identity", test_dataset="OSD",
+             dataset_path=osd_dir, csv_path=csv, limit=1)
+    art = json.loads(path.read_text())
+    assert art["n"] == 99 and art["average"] == 0.5
+
+
 def test_aggregate_skips_missing():
     agg = aggregate([{"a": 1.0, "b": None}, {"a": 3.0, "b": 2.0}])
     assert agg["a"] == 2.0 and agg["b"] == 2.0

@@ -75,7 +75,11 @@ def main():
                      "rice", "sam", "hq-sam"]
     # not in the default sweep (ViT-H is ~10x the compute of the rest of the
     # zoo; maskrefiner/cascadepsp-rgbd duplicate their default-list siblings)
-    # but selectable explicitly via --models for targeted timing runs
+    # but selectable explicitly via --models for targeted timing runs.
+    # NOTE: timing runs build each model at random init (params=None) — the
+    # "-pretrained" suffix selects the architecture variant, not fine-tuned
+    # weights; latency is weight-independent, so the numbers stand, but do
+    # not read them as quality measurements.
     extra_refiners = ["hq-sam-pretrained", "cascadepsp-rgbd", "maskrefiner"]
     if args.models:
         chosen = set(args.models.split(","))
