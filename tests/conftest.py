@@ -67,7 +67,7 @@ _QUICK_FILES = {
     "test_grouping.py", "test_metrics.py", "test_morphology.py",
     "test_pallas_kernels.py", "test_preprocess.py", "test_zoom.py",
     "test_tools_pipeline.py", "test_meanshift.py", "test_eval_tools.py",
-    "test_aug_tools.py", "test_transport_native.py",
+    "test_aug_tools.py", "test_transport_native.py", "test_synthetic.py",
 }
 
 

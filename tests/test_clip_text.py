@@ -69,6 +69,30 @@ def test_bpe_tokenizer_hand_derived(tmp_path):
     assert [tok.decoder[i] for i in ids_dot] == ["lo", "w</w>", ".</w>"]
 
 
+def test_bpe_tokenizer_golden_fixture():
+    """Golden ids for the COMMITTED mini merges file, hand-derived on paper
+    from the published CLIP SimpleTokenizer rules (see the fixture's
+    _comment for the worked derivations) — independent of this
+    implementation, unlike the tmp_path fixtures above."""
+    import json
+    import os
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    with open(os.path.join(fixdir, "clip_mini_golden.json")) as f:
+        golden = json.load(f)
+    tok = CLIPTokenizer(os.path.join(fixdir, "clip_mini_merges.txt"),
+                        context_length=8)
+    assert tok.vocab_size == golden["vocab_size"]
+    assert tok.encoder[tok.SOT] == golden["sot"]
+    assert tok.encoder[tok.EOT] == golden["eot"]
+    for text, ids in golden["texts"].items():
+        assert tok.encode(text) == ids, text
+    # padded batch layout
+    batch = tok(["cup"])
+    np.testing.assert_array_equal(
+        batch[0], [golden["sot"], 513, golden["eot"], 0, 0, 0, 0, 0])
+
+
 def test_clip_text_encoder_matches_torch_rederivation(rng):
     """Weight-compat oracle: torch CLIP-layout text tower (fused-qkv
     MultiheadAttention, QuickGELU, EOT pooling, text_projection)."""

@@ -44,6 +44,12 @@ def main():
                         help="objects per scene sampled uniformly in "
                              "[LO, HI] (default: the renderer's 3-8); "
                              "e.g. 12 20 renders cluttered scenes")
+    parser.add_argument("--shapes", default="mixed",
+                        choices=["convex", "mixed", "concave"],
+                        help="silhouette vocabulary: convex superellipses "
+                             "only, the mixed default (concave composites, "
+                             "holes, thin bars, textured surfaces), or "
+                             "all-concave stress scenes")
     args = parser.parse_args()
 
     import imageio.v2 as imageio
@@ -60,6 +66,7 @@ def main():
         rgb, depth_mm, masks = render_scene(
             rng, args.height, args.width, depth_range=args.depth_range,
             dropout_frac=args.dropout_frac, n_objects=n_objects,
+            shapes=args.shapes,
         )
         label = np.zeros(rgb.shape[:2], np.uint8)
         for k, m in enumerate(masks, start=1):

@@ -17,7 +17,7 @@ import time
 
 
 def synthetic_records(n, h, w, seed=0, depth_range=(2500, 15000),
-                      n_objects=None):
+                      n_objects=None, shapes="mixed"):
     """In-memory dataset records exercising the full mapper path.
 
     Scenes are RENDERED (occlusion-aware superellipse objects over a tilted
@@ -30,7 +30,7 @@ def synthetic_records(n, h, w, seed=0, depth_range=(2500, 15000),
     from quber_tpu.data.synthetic import synthetic_records as _gen
 
     return _gen(n, h, w, seed=seed, depth_range=depth_range,
-                n_objects=n_objects)
+                n_objects=n_objects, shapes=shapes)
 
 
 class SyntheticMapper:
@@ -97,6 +97,10 @@ def main():
                         metavar=("LO", "HI"),
                         help="--synthetic: objects per scene sampled in "
                              "[LO, HI] (default: the renderer's 3-8)")
+    parser.add_argument("--shapes", default="mixed",
+                        choices=["convex", "mixed", "concave"],
+                        help="--synthetic: silhouette vocabulary "
+                             "(quber_tpu/data/synthetic.py)")
     parser.add_argument("--depth-range", type=float, nargs=2, default=None,
                         help="override INPUT.DEPTH_RANGE (mm); use 250 1500 "
                              "to match the eval harness's OSD depth "
@@ -178,7 +182,8 @@ def main():
         records = synthetic_records(args.synthetic_size, model_cfg.height,
                                     model_cfg.width,
                                     depth_range=train_cfg.depth_range,
-                                    n_objects=args.n_objects)
+                                    n_objects=args.n_objects,
+                                    shapes=args.shapes)
         mapper = SyntheticMapper(train_cfg, model_cfg)
     else:
         from quber_tpu.data.datasets import register_standard_datasets
