@@ -83,11 +83,41 @@ class QuBERRefiner:
 
             self.fg_predictor = LMFFNetPredictor(params=fg_params)
 
+    def _to_model_frame(self, rgb, depth_n, initial_masks):
+        """Adapt a harness-resolution (640x480) frame to the model's native
+        config size. The harness frame is fixed by reference semantics
+        (refiner_model.py:224 resize); a model config at another size (e.g.
+        a small drill/test config) refines at its own resolution and the
+        panoptic map is mapped back by _pan_to_eval."""
+        import cv2
+
+        ch, cw = self.predictor.config.height, self.predictor.config.width
+        if (ch, cw) == (EVAL_H, EVAL_W):
+            return rgb, depth_n, initial_masks
+        rgb = cv2.resize(rgb, (cw, ch))
+        depth_n = cv2.resize(depth_n, (cw, ch), interpolation=cv2.INTER_NEAREST)
+        masks = [
+            cv2.resize(np.asarray(m).astype(np.uint8), (cw, ch),
+                       interpolation=cv2.INTER_NEAREST)
+            for m in initial_masks
+        ]
+        return rgb, depth_n, masks
+
+    def _pan_to_eval(self, pan):
+        import cv2
+
+        if pan.shape == (EVAL_H, EVAL_W):
+            return pan
+        return cv2.resize(np.asarray(pan).astype(np.int32), (EVAL_W, EVAL_H),
+                          interpolation=cv2.INTER_NEAREST)
+
     def predict(self, rgb_path, depth_path, initial_masks, fg_mask):
         rgb, depth_n, zero_depth = _load_rgbd(rgb_path, depth_path)
+        rgb_m, depth_m, masks_m = self._to_model_frame(rgb, depth_n, initial_masks)
 
         start = time.time()
-        pan, count, scores = self.predictor.predict_packed(rgb, depth_n, initial_masks)
+        pan, count, scores = self.predictor.predict_packed(rgb_m, depth_m, masks_m)
+        pan = self._pan_to_eval(pan)
         refined, fg = self._postprocess(
             pan, count, scores, rgb_path, depth_path, zero_depth
         )
@@ -141,12 +171,13 @@ class QuBERRefiner:
             for rgb_path, depth_path, initial_masks, _fg in items:
                 rgb, depth_n, zero_depth = _load_rgbd(rgb_path, depth_path)
                 metas.append((rgb_path, depth_path, zero_depth))
-                yield (rgb, depth_n, initial_masks)
+                yield self._to_model_frame(rgb, depth_n, initial_masks)
 
         for pan, count, scores in self.predictor.predict_batch_stream(
             frames(), batch_size=batch_size
         ):
             rgb_path, depth_path, zero_depth = metas.popleft()
+            pan = self._pan_to_eval(pan)
             refined, fg = self._postprocess(
                 pan, count, scores, rgb_path, depth_path, zero_depth
             )
@@ -172,6 +203,13 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
     if name in ("cascadepsp", "cascadepsp-rgbd"):
         from quber_tpu.models.cascadepsp import CascadePSPRefiner
 
+        if params is None:
+            # tools/train_zoo.py --model cascadepsp checkpoint
+            ckpt = os.environ.get("QUBER_CASCADEPSP_CKPT", "")
+            if ckpt:
+                from quber_tpu.train.checkpoint import restore_params
+
+                params = restore_params(ckpt)
         return CascadePSPRefiner(params=params, dataset=dataset)
     if name == "rice":
         from quber_tpu.models.rice import RICERefiner
@@ -200,6 +238,24 @@ def build_refiner_model(name: str, dataset: str, config=None, params=None,
         # hq-sam-pretrained = the reference's fine-tuned ViT-H HQ-SAM
         # (refiner_model.py:560-564); plain sam/hq-sam default to ViT-B
         # scale for perf smokes at random init
+        ckpt = os.environ.get("QUBER_SAMHQ_CKPT", "")
+        if name == "hq-sam" and params is None and ckpt:
+            # tools/train_zoo.py --model samhq checkpoint: arch.json beside
+            # the ckpt dir rebuilds the trained architecture
+            import json
+
+            from quber_tpu.train.checkpoint import restore_params
+
+            with open(os.path.join(os.path.dirname(os.path.abspath(ckpt)),
+                                   "arch.json")) as f:
+                arch = json.load(f)
+            return SAMHQRefiner(params=restore_params(ckpt), dataset=dataset,
+                                hq=True, img_size=arch["img_size"],
+                                embed_dim=arch["embed_dim"],
+                                depth=arch["depth"],
+                                num_heads=arch["num_heads"],
+                                global_blocks=tuple(arch["global_blocks"]),
+                                window_size=arch["window_size"])
         preset = "vit_h" if name == "hq-sam-pretrained" else None
         return SAMHQRefiner(params=params, dataset=dataset, hq=name != "sam",
                             preset=preset)
