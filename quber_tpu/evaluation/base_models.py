@@ -218,10 +218,40 @@ def build_base_model(name: str, dataset: str, npy_folder: str = ""):
     if name == "detic":
         from quber_tpu.models.open_vocab import DeticBaseModel
 
+        ckpt = os.environ.get("QUBER_DETIC_CKPT", "")
+        if ckpt:
+            # tools/train_zoo.py --model detic: checkpoint tree
+            # {text, detector} + vocab.json beside the ckpt dir
+            import json
+
+            from quber_tpu.train.checkpoint import restore_params
+
+            with open(os.path.join(os.path.dirname(os.path.abspath(ckpt)),
+                                   "vocab.json")) as f:
+                vocab = json.load(f)
+            thr = float(os.environ.get("QUBER_DETIC_THRESH", "0.5"))
+            return DeticBaseModel(params=restore_params(ckpt),
+                                  dataset=dataset, vocabulary=vocab,
+                                  confidence_threshold=thr)
         return DeticBaseModel(dataset=dataset)
     if name == "grounded-sam":
         from quber_tpu.models.open_vocab import GroundedSAMBaseModel
 
+        ckpt = os.environ.get("QUBER_GSAM_CKPT", "")
+        if ckpt:
+            # tools/train_zoo.py --model gsam: {text, grounder, sam} tree
+            # + arch.json (the trained SAM architecture)
+            import json
+
+            from quber_tpu.train.checkpoint import restore_params
+
+            with open(os.path.join(os.path.dirname(os.path.abspath(ckpt)),
+                                   "arch.json")) as f:
+                arch = json.load(f)
+            thr = float(os.environ.get("QUBER_GSAM_THRESH", "0.10"))
+            return GroundedSAMBaseModel(params=restore_params(ckpt),
+                                        dataset=dataset, sam_arch=arch,
+                                        box_threshold=thr)
         return GroundedSAMBaseModel(dataset=dataset)
     raise NotImplementedError(
         f"base model {name}; available: gt, empty, npy, perturbed-gt, ucn, "

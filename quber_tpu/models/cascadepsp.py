@@ -361,3 +361,32 @@ class CascadePSPRefiner:
                             interpolation=cv2.INTER_NEAREST).astype(bool)
             refined = refined & ~zd[None]
         return refined, None, elapsed, fg_mask
+
+
+def cascadepsp_refine_loss(images, target):
+    """CascadePSP training objective on one batch.
+
+    The reference trains segmentation-refinement.PSPNet with per-stage
+    supervision: cross-entropy on every cascade side output (the s8/s4
+    intermediates at all three iterations) plus L1+L2 and an L1 gradient
+    (edge) term on the final s1 prediction — the recipe the released
+    `model_40000`-style checkpoints were produced with. `images` is the
+    PSPNetUOAIS output dict; `target` is the GT mask [B, H, W] in {0, 1}.
+    """
+    def bce(logit):
+        z, t = logit[..., 0], target
+        # numerically-stable sigmoid BCE
+        return jnp.mean(jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+    losses = {f"bce_{k}": bce(images[k])
+              for k in ("out_28", "out_28_2", "out_28_3", "out_56",
+                        "out_56_2")}
+    losses["bce_224"] = bce(images["out_224"])
+    pred = images["pred_224"][..., 0]
+    losses["l1_224"] = jnp.abs(pred - target).mean()
+    losses["l2_224"] = jnp.square(pred - target).mean()
+    # edge fidelity: first-difference gradients of pred vs target
+    gy = jnp.abs(jnp.diff(pred, axis=1) - jnp.diff(target, axis=1)).mean()
+    gx = jnp.abs(jnp.diff(pred, axis=2) - jnp.diff(target, axis=2)).mean()
+    losses["grad_224"] = 5.0 * (gy + gx)
+    return losses

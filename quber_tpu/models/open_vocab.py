@@ -177,7 +177,7 @@ class DeticDetector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, rgb, text_embeds):
+    def __call__(self, rgb, text_embeds, gt_proposals=None):
         t, d = self.train, self.dtype
         h, w = rgb.shape[1], rgb.shape[2]
         fpn = SingleFPN(norm=self.norm, train=t, dtype=d, name="backbone")(rgb)
@@ -185,6 +185,7 @@ class DeticDetector(nn.Module):
         rpn = RPNHead(num_anchors=len(ASPECT_RATIOS), dtype=d, name="rpn")
         anchors = _multilevel_anchors(h, w)
         lvl_scores, lvl_boxes = [], []
+        all_obj, all_deltas, all_anchors = [], [], []
         for name in FPN_STRIDES:
             obj, deltas = rpn(fpn[name])
             obj = obj[0].reshape(-1).astype(jnp.float32)
@@ -194,6 +195,9 @@ class DeticDetector(nn.Module):
             s, idx = jax.lax.top_k(obj, k)
             lvl_scores.append(s)
             lvl_boxes.append(props[idx])
+            all_obj.append(obj)
+            all_deltas.append(deltas)
+            all_anchors.append(anchors[name])
         cand_scores = jnp.concatenate(lvl_scores)
         cand_boxes = jnp.concatenate(lvl_boxes, axis=0)
         keep = box_ops.nms_fixed(cand_boxes, cand_scores, 0.7)
@@ -201,6 +205,20 @@ class DeticDetector(nn.Module):
         p = self.max_proposals
         prop_boxes = cand_boxes[order][:p]
         prop_valid = keep[order][:p]
+        det_boost = jnp.zeros((p,), jnp.float32)
+        if gt_proposals is not None:
+            # training: GT boxes spliced into the proposal set so the ROI
+            # embedding / box / mask heads see positives from step one
+            # (uoais_net.py gt_proposals semantics)
+            g = gt_proposals.shape[0]
+            gt_ok = (gt_proposals[:, 2] > gt_proposals[:, 0]) & (
+                gt_proposals[:, 3] > gt_proposals[:, 1]
+            )
+            prop_boxes = jnp.concatenate(
+                [prop_boxes[: p - g], jnp.asarray(gt_proposals, jnp.float32)]
+            )
+            prop_valid = jnp.concatenate([prop_valid[: p - g], gt_ok])
+            det_boost = det_boost.at[p - g:].set(jnp.where(gt_ok, 2.0, 0.0))
 
         feats = {k: fpn[k][0].astype(jnp.float32) for k in ROI_STRIDES}
         roi7 = box_ops.roi_align_multilevel(feats, prop_boxes, 7, ROI_STRIDES)
@@ -219,9 +237,10 @@ class DeticDetector(nn.Module):
         best_cls = jnp.argmax(cls_prob, axis=-1)
         best_score = jnp.where(prop_valid, jnp.max(cls_prob, axis=-1), 0.0)
         det_keep = box_ops.nms_fixed(
-            final_boxes, jnp.where(prop_valid, best_score, -1.0), 0.5
+            final_boxes, jnp.where(prop_valid, best_score + det_boost, -1.0), 0.5
         ) & prop_valid
-        det_order = jnp.argsort(-jnp.where(det_keep, best_score, -jnp.inf))
+        det_order = jnp.argsort(
+            -jnp.where(det_keep, best_score + det_boost, -jnp.inf))
         kk = self.max_detections
         det_idx = det_order[:kk]
 
@@ -242,6 +261,15 @@ class DeticDetector(nn.Module):
             "classes": best_cls[det_idx],
             "valid": det_keep[det_idx],
             "masks": mask_logits.astype(jnp.float32),
+            # training intermediates (detic_losses assigns targets to these)
+            "anchors": jnp.concatenate(all_anchors, axis=0),
+            "rpn_objectness": jnp.concatenate(all_obj),
+            "rpn_deltas": jnp.concatenate(all_deltas, axis=0),
+            "proposal_boxes": prop_boxes,
+            "proposal_valid": prop_valid,
+            "cls_logits": cls_logits,
+            "box_deltas": box_deltas,
+            "det_index": det_idx,
         }
 
 
@@ -319,6 +347,109 @@ class DeticBaseModel:
         return masks[ok], None, time.time() - t0
 
 
+def detic_losses(
+    outputs: dict,
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    rpn_pos_iou: float = 0.7,
+    rpn_neg_iou: float = 0.3,
+    roi_pos_iou: float = 0.5,
+):
+    """Open-vocabulary detector losses (the Detic/CenterNet2 recipe shape):
+    RPN objectness BCE + smooth-L1 deltas; per-class sigmoid BCE on the
+    ROI-embedding x text-embedding logits (positives target their matched
+    GT class one-hot, negatives all-zero — the text tower trains jointly
+    through this term, which is what makes the head open-vocabulary);
+    box regression and 28^2 mask BCE on positives. Fixed-shape with
+    per-element weights, mirroring uoais_net.uoais_losses.
+
+    gt_boxes [N, 4] XYXY, gt_classes [N] int32, gt_masks [N, H, W],
+    gt_valid [N].
+    """
+    from quber_tpu.models.uoais_net import _smooth_l1
+
+    anchors = outputs["anchors"]
+    iou = jnp.where(gt_valid[None, :],
+                    box_ops.box_iou(anchors, gt_boxes), 0.0)
+    best_iou = jnp.max(iou, axis=1)
+    best_gt = jnp.argmax(iou, axis=1)
+    per_gt_best = jnp.argmax(iou, axis=0)
+    forced_pos = jnp.zeros(anchors.shape[0], bool).at[per_gt_best].set(
+        jnp.asarray(gt_valid))
+    pos = (best_iou > rpn_pos_iou) | forced_pos
+    neg = best_iou < rpn_neg_iou
+
+    obj = outputs["rpn_objectness"]
+    t = pos.astype(jnp.float32)
+    fp, fn_ = t, neg.astype(jnp.float32)
+    w = (0.5 * fp / jnp.maximum(fp.sum(), 1.0)
+         + 0.5 * fn_ / jnp.maximum(fn_.sum(), 1.0))
+    obj_bce = jnp.maximum(obj, 0) - obj * t + jnp.log1p(jnp.exp(-jnp.abs(obj)))
+    loss_rpn_obj = jnp.sum(obj_bce * w)
+
+    target_deltas = box_ops.boxes_to_deltas(anchors, gt_boxes[best_gt])
+    pw = pos.astype(jnp.float32)[:, None]
+    loss_rpn_box = jnp.sum(
+        _smooth_l1(outputs["rpn_deltas"] - target_deltas) * pw
+    ) / jnp.maximum(pw.sum() * 4, 1.0)
+
+    props = outputs["proposal_boxes"]
+    prop_valid = outputs["proposal_valid"]
+    piou = jnp.where(gt_valid[None, :], box_ops.box_iou(props, gt_boxes), 0.0)
+    p_best = jnp.max(piou, axis=1)
+    p_gt = jnp.argmax(piou, axis=1)
+    p_pos = (p_best > roi_pos_iou) & prop_valid
+
+    # per-class sigmoid BCE over the text-similarity logits [P, C]
+    logits = outputs["cls_logits"]
+    n_cls = logits.shape[-1]
+    onehot = jax.nn.one_hot(gt_classes[p_gt], n_cls)
+    tcls = jnp.where(p_pos[:, None], onehot, 0.0)
+    cv = prop_valid.astype(jnp.float32)[:, None]
+    cp = tcls * cv
+    cn = (1.0 - tcls) * cv
+    cw = (0.25 * cp / jnp.maximum(cp.sum(), 1.0)
+          + 0.75 * cn / jnp.maximum(cn.sum(), 1.0))
+    cls_bce = (jnp.maximum(logits, 0) - logits * tcls
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    loss_cls = jnp.sum(cls_bce * cw)
+
+    roi_deltas_t = box_ops.boxes_to_deltas(props, gt_boxes[p_gt])
+    rw = p_pos.astype(jnp.float32)[:, None]
+    loss_box = jnp.sum(
+        _smooth_l1(outputs["box_deltas"] - roi_deltas_t) * rw
+    ) / jnp.maximum(rw.sum() * 4, 1.0)
+
+    det_idx = outputs["det_index"]
+    d_gt = p_gt[det_idx]
+    d_pos = p_pos[det_idx] & outputs["valid"]
+    det_boxes = outputs["boxes"]
+    m = outputs["masks"].shape[-1]
+
+    def one(logit, box, gi, ok):
+        target = box_ops.roi_align(
+            gt_masks[gi][..., None].astype(jnp.float32), box[None], out_size=m
+        )[0, ..., 0]
+        target = (target > 0.5).astype(jnp.float32)
+        bce = (jnp.maximum(logit, 0) - logit * target
+               + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+        return jnp.mean(bce) * ok
+
+    per = jax.vmap(one)(outputs["masks"], det_boxes, d_gt,
+                        d_pos.astype(jnp.float32))
+    loss_mask = jnp.sum(per) / jnp.maximum(d_pos.sum(), 1.0)
+
+    return {
+        "loss_rpn_objectness": loss_rpn_obj,
+        "loss_rpn_box": loss_rpn_box,
+        "loss_cls": loss_cls,
+        "loss_box": loss_box,
+        "loss_mask": loss_mask,
+    }
+
+
 class GroundedSAMBaseModel:
     """Text-grounded boxes -> SAM box-prompted masks (reference
     base_model.py:301-440: GroundingDINO boxes for "A rigid object." +
@@ -327,7 +458,7 @@ class GroundedSAMBaseModel:
     def __init__(self, params=None, dataset="OSD", seed=0,
                  text_prompt="A rigid object.", box_threshold=0.10,
                  sam_img_size=512, max_boxes=16, bpe_path=None,
-                 clip_config=None):
+                 clip_config=None, sam_arch=None):
         from quber_tpu.models.sam_hq import SAMHQ, init_sam_variables
 
         self.text_prompt = text_prompt
@@ -335,7 +466,15 @@ class GroundedSAMBaseModel:
         self.text_encoder, init_text, self._apply_text = make_text_tower(
             [text_prompt], bpe_path, clip_config)
         self.grounder = DeticDetector(max_detections=max_boxes, dtype=jnp.bfloat16)
-        self.sam = SAMHQ(img_size=sam_img_size, dtype=jnp.bfloat16)
+        if sam_arch is not None:
+            # a trained SAM at its own architecture (tools/train_zoo.py
+            # --model gsam writes arch.json beside the checkpoint)
+            sam_arch = dict(sam_arch)
+            sam_arch["global_blocks"] = tuple(sam_arch["global_blocks"])
+            sam_img_size = sam_arch["img_size"]
+            self.sam = SAMHQ(**sam_arch, dtype=jnp.bfloat16)
+        else:
+            self.sam = SAMHQ(img_size=sam_img_size, dtype=jnp.bfloat16)
         if params is None:
             key = jax.random.PRNGKey(seed)
             tp = init_text(key)

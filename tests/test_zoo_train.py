@@ -245,3 +245,136 @@ def test_sam_hq_learns(rng):
     first, last = _fit(loss_fn, v, steps=6, lr=1e-3)
     assert np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_cascadepsp_refine_loss_learns(rng):
+    from quber_tpu.models.cascadepsp import PSPNetUOAIS, cascadepsp_refine_loss
+
+    m = PSPNetUOAIS()
+    g = 32
+    rgb = jnp.asarray(rng.rand(1, g, g, 3).astype(np.float32))
+    dep = jnp.asarray(rng.rand(1, g, g, 1).astype(np.float32))
+    seg = jnp.asarray((rng.rand(1, g, g, 1) > 0.5).astype(np.float32) * 2 - 1)
+    target = np.zeros((1, g, g), np.float32)
+    target[0, 8:24, 8:24] = 1
+    target = jnp.asarray(target)
+    v = m.init(jax.random.PRNGKey(0), rgb, dep, seg)
+
+    def loss_fn(params):
+        images = m.apply(params, rgb, dep, seg)
+        return sum(cascadepsp_refine_loss(images, target).values())
+
+    first, last = _fit(loss_fn, v, steps=6, lr=1e-3)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_zoo_refiner_crop_pools():
+    """The CascadePSP / SAM-HQ trainer pools carry the exact channel
+    encodings their eval wrappers feed (tools/train_zoo.py make_refine_crops
+    / make_samhq_scenes)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from train_zoo import SAMHQ_SYNTH_ARCH, make_refine_crops, make_samhq_scenes
+
+    pool = make_refine_crops(6, 120, 160, seed=3, depth_range=(250, 1500),
+                             crop=64)
+    assert pool["rgbd"].shape == (6, 64, 64, 4)
+    assert pool["seg"].shape == (6, 64, 64)
+    assert pool["tgt"].shape == (6, 64, 64)
+    # seg is a perturbation OF the target: overlapping but not identical
+    inter = ((pool["seg"] > 0.5) & (pool["tgt"] > 0.5)).sum()
+    assert inter > 0
+    assert (pool["tgt"] > 0.5).any(axis=(1, 2)).all()
+    # depth channel in [0,1] (normalize_depth/255); rgb ImageNet-standardized
+    assert 0.0 <= pool["rgbd"][..., 3].min() and pool["rgbd"][..., 3].max() <= 1.0
+
+    s = 64
+    sp = make_samhq_scenes(3, 120, 160, seed=3, depth_range=(250, 1500),
+                           img_size=s)
+    assert sp["img"].shape == (3, s, s, 3)
+    assert sp["prompt"].shape == (3, 4, s // 4, s // 4)
+    assert sp["tgt"].shape == (3, 4, s // 4, s // 4)
+    assert sp["valid"].any()
+    # the wrapper's prompt encoding: mask * 20 - 10
+    assert set(np.round(np.unique(sp["prompt"])).tolist()) <= set(
+        np.round(np.arange(-10, 10.5, 0.5)).tolist())
+    assert SAMHQ_SYNTH_ARCH["img_size"] % 4 == 0
+
+
+def test_detic_learns_with_text_tower(rng):
+    """The open-vocab objective descends through BOTH towers: detector and
+    text encoder gradients are nonzero (the classifier is a dot product
+    against text embeddings, detic_losses loss_cls)."""
+    from quber_tpu.models.open_vocab import (
+        DeticDetector,
+        TextEncoder,
+        detic_losses,
+        hash_tokenize,
+    )
+
+    texts = ["red object", "green object"]
+    ids, mask = hash_tokenize(texts)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    enc = TextEncoder()
+    tp = enc.init(jax.random.PRNGKey(0), ids, mask)
+    det = DeticDetector(max_proposals=32, max_detections=4,
+                        pre_nms_topk_per_level=16, norm="GN")
+    rgb = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+
+    gt_boxes = jnp.asarray([[8, 8, 30, 30], [35, 12, 60, 40]], jnp.float32)
+    gt_classes = jnp.asarray([0, 1], jnp.int32)
+    gt_masks = np.zeros((2, 64, 64), np.float32)
+    gt_masks[0, 8:30, 8:30] = 1
+    gt_masks[1, 12:40, 35:60] = 1
+    gt_masks = jnp.asarray(gt_masks)
+    gt_valid = jnp.asarray([True, True])
+
+    dp = det.init(jax.random.PRNGKey(1), rgb, enc.apply(tp, ids, mask),
+                  gt_boxes)
+    params = {"text": tp, "detector": dp}
+
+    def loss_fn(p):
+        embeds = enc.apply(p["text"], ids, mask)
+        out = det.apply(p["detector"], rgb, embeds, gt_proposals=gt_boxes)
+        return sum(detic_losses(out, gt_boxes, gt_classes, gt_masks,
+                                gt_valid).values())
+
+    grads = jax.grad(loss_fn)(params)
+    gtext = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["text"]))
+    gdet = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["detector"]))
+    assert gtext > 0 and gdet > 0, (gtext, gdet)
+
+    # exp(logit_scale)=100 makes the cls head's logits steep; small lr
+    first, last = _fit(loss_fn, params, steps=10, lr=1e-4)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_detic_scene_pool_color_classes():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from train_zoo import COLOR_VOCAB, _color_class, make_detic_scenes
+
+    assert _color_class((220, 30, 30)) == 0     # red
+    assert _color_class((30, 220, 30)) == 2     # green
+    assert _color_class((40, 40, 230)) == 4     # blue
+    assert _color_class((128, 128, 128)) == 6   # gray
+    pool = make_detic_scenes(3, 96, 128, seed=2, depth_range=(250, 1500))
+    assert pool["bgr"].shape == (3, 96, 128, 3)
+    assert pool["valid"].any()
+    cls = pool["classes"][pool["valid"]]
+    assert ((0 <= cls) & (cls < len(COLOR_VOCAB))).all()
+    # boxes enclose their masks
+    for i in range(3):
+        for j in range(pool["valid"].shape[1]):
+            if not pool["valid"][i, j]:
+                continue
+            ys, xs = np.where(pool["masks"][i, j] > 0)
+            x0, y0, x1, y1 = pool["boxes"][i, j]
+            assert x0 <= xs.min() and xs.max() < x1
+            assert y0 <= ys.min() and ys.max() < y1

@@ -479,11 +479,469 @@ def train_rice(args):
               lambda it: save_params(ckpt_dir, state["v"], step=it))
 
 
+def make_refine_crops(n, h, w, seed, depth_range, crop=224, per_scene=3):
+    """Crop pool for the single-mask refiner baselines (CascadePSP): for
+    each sampled GT object, a GLOBAL sample (whole frame resized to crop^2,
+    the wrapper's global pass) and an ROI sample (expanded-box zoom, the
+    wrapper's local pass) with a boundary-perturbed seg input.
+
+    Channels follow CascadePSPRefiner._refine_impl exactly: rgb ImageNet-
+    normalized, depth /255 from the eval normalize_depth encoding, seg in
+    {0,1} (scaled to [-1,1] at the consumer)."""
+    import cv2
+    import numpy as np
+
+    from quber_tpu.data.perturb import mask_iou, modify_boundary
+    from quber_tpu.data.synthetic import render_scene
+    from quber_tpu.models.cascadepsp import IMAGENET_MEAN, IMAGENET_STD
+    from quber_tpu.ops.preprocess import normalize_depth
+
+    rng = np.random.RandomState(seed)
+    out = {k: [] for k in ("rgbd", "seg", "tgt")}
+    g = crop
+    while len(out["rgbd"]) < n:
+        rgb, depth_mm, vis = render_scene(rng, h, w, depth_range=depth_range)
+        rgbn = (rgb[..., ::-1].astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        depth = normalize_depth(depth_mm.astype(np.float32),
+                                depth_range[0], depth_range[1])[..., :1] / 255.0
+        rgbd = np.concatenate([rgbn, depth], axis=-1)
+        objs = [m.astype(np.uint8) for m in vis if m.sum() >= 64]
+        rng.shuffle(objs)
+        for m in objs[:per_scene]:
+            pert = modify_boundary(m, rng, (0.6, 0.95))
+            if not pert.any() or mask_iou(pert, m) < 0.3:
+                pert = m
+            ys, xs = np.where(m + pert)
+            y0, y1 = ys.min(), ys.max() + 1
+            x0, x1 = xs.min(), xs.max() + 1
+            mg = rng.uniform(0.15, 0.6)
+            y0 = max(0, int(y0 - mg * (y1 - y0)))
+            y1 = min(h, int(y1 + mg * (y1 - y0)))
+            x0 = max(0, int(x0 - mg * (x1 - x0)))
+            x1 = min(w, int(x1 + mg * (x1 - x0)))
+            for view in ("global", "roi"):
+                if len(out["rgbd"]) >= n:
+                    break
+                sl = (slice(None), slice(None)) if view == "global" else (
+                    slice(y0, y1), slice(x0, x1))
+                out["rgbd"].append(cv2.resize(rgbd[sl], (g, g)))
+                out["seg"].append(cv2.resize(pert[sl].astype(np.float32),
+                                             (g, g)))
+                out["tgt"].append(cv2.resize(m[sl].astype(np.float32),
+                                             (g, g)))
+    return {k: np.stack(v).astype(np.float32) for k, v in out.items()}
+
+
+def train_cascadepsp(args):
+    """CascadePSP-RGBD refiner recipe: per-stage BCE over the s8/s4 cascade
+    side outputs + L1/L2/gradient on the final s1 logit
+    (models/cascadepsp.cascadepsp_refine_loss), on global + ROI crops of
+    boundary-perturbed GT masks — the single-mask refinement task the
+    reference baseline performs in the eval harness
+    (eval/refiner_model.py:300-404). BatchNorms run in eval mode
+    (init running stats), matching the eval-time wrapper's configuration;
+    scale/bias remain learnable."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.cascadepsp import (
+        CascadePSPRefiner,
+        PSPNetUOAIS,
+        cascadepsp_refine_loss,
+    )
+    from quber_tpu.train.checkpoint import save_params
+
+    g = CascadePSPRefiner.GLOBAL
+    pool = _stage(make_refine_crops(args.size, args.height, args.width,
+                                    args.seed, tuple(args.depth_range),
+                                    crop=g))
+    model = PSPNetUOAIS()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed), jnp.zeros((1, g, g, 3)),
+        jnp.zeros((1, g, g, 1)), jnp.zeros((1, g, g, 1)))
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables)
+    bsz = 4
+
+    @jax.jit
+    def jstep(variables, opt_state, pool, idx):
+        rgbd = pool["rgbd"][idx]           # [B, g, g, 4]
+        seg = (pool["seg"][idx][..., None] - 0.5) / 0.5
+        tgt = pool["tgt"][idx]
+
+        def loss_fn(v):
+            images = model.apply(v, rgbd[..., :3], rgbd[..., 3:4], seg)
+            losses = cascadepsp_refine_loss(images, tgt)
+            return sum(losses.values()), losses
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss, parts
+
+    ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = {"v": variables, "opt": opt_state}
+    rng = __import__("numpy").random.default_rng(args.seed + 1)
+
+    def step(it, idx):
+        batch = (rng.integers(0, args.size, bsz - 1).tolist() + [idx])
+        state["v"], state["opt"], loss, parts = jstep(
+            state["v"], state["opt"], pool,
+            __import__("jax").numpy.asarray(batch))
+        return loss, parts
+
+    _fit_loop(step, args.size, args,
+              lambda it: save_params(ckpt_dir, state["v"], step=it))
+
+
+SAMHQ_SYNTH_ARCH = dict(img_size=256, embed_dim=256, depth=6, num_heads=8,
+                        global_blocks=(2, 5), window_size=8)
+
+
+def make_samhq_scenes(n, h, w, seed, depth_range, img_size, slots=4):
+    """SAM-HQ fine-tune pool: SAM-normalized square frames + per-object
+    mask prompts (the wrapper's prompt encoding: resized initial mask
+    * 20 - 10 at stride 4) and GT targets at the HQ output stride."""
+    import cv2
+    import numpy as np
+
+    from quber_tpu.data.perturb import mask_iou, modify_boundary
+    from quber_tpu.data.synthetic import render_scene
+    from quber_tpu.models.sam_refiner import SAM_PIXEL_MEAN, SAM_PIXEL_STD
+
+    s, q = img_size, img_size // 4
+    rng = np.random.RandomState(seed)
+    out = {k: [] for k in ("img", "prompt", "tgt", "valid")}
+    for _ in range(n):
+        rgb, _depth, vis = render_scene(rng, h, w, depth_range=depth_range)
+        img = cv2.resize(rgb[..., ::-1].astype(np.float32), (s, s))
+        out["img"].append((img - SAM_PIXEL_MEAN) / SAM_PIXEL_STD)
+        prompts = np.zeros((slots, q, q), np.float32)
+        tgts = np.zeros((slots, q, q), np.float32)
+        valid = np.zeros((slots,), bool)
+        objs = [m.astype(np.uint8) for m in vis if m.sum() >= 64]
+        rng.shuffle(objs)
+        for i, m in enumerate(objs[:slots]):
+            pert = modify_boundary(m, rng, (0.6, 0.95))
+            if not pert.any() or mask_iou(pert, m) < 0.3:
+                pert = m
+            prompts[i] = cv2.resize(pert.astype(np.float32), (q, q)) * 20.0 - 10.0
+            tgts[i] = cv2.resize(m.astype(np.float32), (q, q))
+            valid[i] = True
+        out["prompt"].append(prompts)
+        out["tgt"].append(tgts)
+        out["valid"].append(valid)
+    return {k: np.stack(v).astype(np.float32) if k != "valid"
+            else np.stack(v) for k, v in out.items()}
+
+
+def train_samhq(args):
+    """HQ-SAM refiner recipe: focal+dice on the HQ-token mask under mask
+    prompts (sam-hq/train/train.py MaskDecoderHQ objective,
+    utils/loss_mask.py recipe) — from scratch at a reduced SAMHQ_SYNTH_ARCH
+    scale (no pretrained ViT exists in this zero-egress environment; the
+    reference fine-tunes a released ViT-H). Writes arch.json beside the
+    checkpoint so the eval wrapper rebuilds the same architecture
+    (QUBER_SAMHQ_CKPT)."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.sam_hq import SAMHQ, sam_hq_mask_loss
+    from quber_tpu.train.checkpoint import save_params
+
+    arch = SAMHQ_SYNTH_ARCH
+    s = arch["img_size"]
+    pool = _stage(make_samhq_scenes(args.size, args.height, args.width,
+                                    args.seed, tuple(args.depth_range), s))
+    model = SAMHQ(**arch)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed), jnp.zeros((1, s, s, 3)),
+        jnp.zeros((1, s // 4, s // 4, 1)))
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def jstep(variables, opt_state, pool, idx):
+        img = pool["img"][idx][None]
+
+        def loss_fn(v):
+            embed, interm = model.apply(v, img, method=SAMHQ.encode)
+
+            def one(prompt, tgt, ok):
+                masks, _iou, _all = model.apply(
+                    v, embed, interm, prompt[None, ..., None], False, True,
+                    method=SAMHQ.decode)
+                losses = sam_hq_mask_loss(masks[:, 0], tgt[None])
+                return jax.tree.map(lambda x: x * ok, losses)
+
+            per = jax.vmap(one)(pool["prompt"][idx], pool["tgt"][idx],
+                                pool["valid"][idx].astype(jnp.float32))
+            denom = jnp.maximum(pool["valid"][idx].sum(), 1)
+            losses = jax.tree.map(lambda x: x.sum() / denom, per)
+            return sum(losses.values()), losses
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss, parts
+
+    ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "arch.json"), "w") as f:
+        _json.dump(arch, f)
+    state = {"v": variables, "opt": opt_state}
+
+    def step(it, idx):
+        state["v"], state["opt"], loss, parts = jstep(
+            state["v"], state["opt"], pool, idx)
+        return loss, parts
+
+    _fit_loop(step, args.size, args,
+              lambda it: save_params(ckpt_dir, state["v"], step=it))
+
+
+# 60-degree hue buckets in spectral order (+30 offset centers red at 0)
+COLOR_VOCAB = ["red object", "yellow object", "green object", "cyan object",
+               "blue object", "magenta object", "gray object"]
+
+
+def _color_class(rgb_mean):
+    """Dominant-hue class id for COLOR_VOCAB from a mean RGB albedo.
+
+    The synthetic renderer has no semantic categories; color is the one
+    text-describable attribute every object carries, which makes the
+    open-vocabulary objective real: the detector can only classify a ROI
+    by agreeing with the right text embedding."""
+    import colorsys
+
+    r, g, b = (float(x) / 255.0 for x in rgb_mean)
+    h, s, v = colorsys.rgb_to_hsv(r, g, b)
+    if s < 0.12:
+        return 6  # gray
+    return int(((h * 360 + 30) % 360) // 60)  # 60-degree hue buckets
+
+
+def make_detic_scenes(n, h, w, seed, depth_range, slots=SLOTS):
+    """Detic pool: raw BGR frames (the wrapper feeds cv2.imread output
+    untouched, open_vocab.DeticBaseModel.predict) + per-object boxes,
+    color-class labels, masks."""
+    import numpy as np
+
+    from quber_tpu.data.synthetic import render_scene
+
+    rng = np.random.RandomState(seed)
+    out = {k: [] for k in ("bgr", "boxes", "classes", "masks", "valid")}
+    for _ in range(n):
+        rgb, _depth, vis = render_scene(rng, h, w, depth_range=depth_range)
+        boxes = np.zeros((slots, 4), np.float32)
+        classes = np.zeros((slots,), np.int32)
+        masks = np.zeros((slots, h, w), np.float32)
+        valid = np.zeros((slots,), bool)
+        for i, m in enumerate(vis[:slots]):
+            m = m > 0
+            if m.sum() < 64:
+                continue
+            ys, xs = np.where(m)
+            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+            classes[i] = _color_class(rgb[m].mean(axis=0))
+            masks[i] = m
+            valid[i] = True
+        out["bgr"].append(rgb[..., ::-1].astype(np.float32))
+        out["boxes"].append(boxes)
+        out["classes"].append(classes)
+        out["masks"].append(masks)
+        out["valid"].append(valid)
+    import numpy as _np
+
+    return {k: _np.stack(v) for k, v in out.items()}
+
+
+def _fit_detector_with_text(args, vocabulary, detector, pool, extra_out=None,
+                            extra_step=None):
+    """Shared detic/grounder driver: jointly trains the hash-vocabulary
+    text tower and the open-vocab detector with detic_losses. `extra_step`
+    (it -> dict) runs once per iteration for co-trained legs (the gsam SAM
+    branch) and its parts merge into the logged losses; `extra_out`
+    () -> dict merges extra trees into the saved checkpoint."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.open_vocab import detic_losses, make_text_tower
+    from quber_tpu.train.checkpoint import save_params
+
+    _enc, init_text, apply_text = make_text_tower(vocabulary)
+    key = jax.random.PRNGKey(args.seed)
+    tp = init_text(key)
+    dp = jax.jit(detector.init)(
+        key, jnp.zeros((1, args.height, args.width, 3)), apply_text(tp),
+        jnp.zeros((SLOTS, 4)))
+    params = {"text": tp, "detector": dp}
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jstep(params, opt_state, pool, idx):
+        def loss_fn(p):
+            embeds = apply_text(p["text"])
+            out = detector.apply(
+                p["detector"], pool["bgr"][idx][None], embeds,
+                gt_proposals=jnp.where(pool["valid"][idx][:, None],
+                                       pool["boxes"][idx], 0.0))
+            losses = detic_losses(out, pool["boxes"][idx],
+                                  pool["classes"][idx], pool["masks"][idx],
+                                  pool["valid"][idx])
+            return sum(losses.values()), losses
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss, parts
+
+    ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "ckpt"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "vocab.json"), "w") as f:
+        _json.dump(vocabulary, f)
+    state = {"p": params, "opt": opt_state}
+
+    def step(it, idx):
+        state["p"], state["opt"], loss, parts = jstep(
+            state["p"], state["opt"], pool, idx)
+        if extra_step is not None:
+            parts = dict(parts)
+            parts.update(extra_step(it))
+        return loss, parts
+
+    def save(it):
+        tree = dict(state["p"])
+        if extra_out:
+            tree.update(extra_out())
+        save_params(ckpt_dir, tree, step=it)
+
+    _fit_loop(step, args.size, args, save)
+    return state
+
+
+def train_detic(args):
+    """Detic-class open-vocabulary recipe: the ROI classifier is a dot
+    product against text embeddings of a color vocabulary (COLOR_VOCAB) —
+    the text tower and detector train jointly, so classification only
+    works if vision and language embeddings co-align (Detic's
+    open-vocabulary head, reference wrapper base_model.py:108-172).
+    Checkpoint + vocab.json load at eval via QUBER_DETIC_CKPT."""
+    import jax.numpy as jnp
+
+    from quber_tpu.models.open_vocab import DeticDetector
+
+    pool = _stage(make_detic_scenes(args.size, args.height, args.width,
+                                    args.seed, tuple(args.depth_range)))
+    _fit_detector_with_text(args, COLOR_VOCAB,
+                            DeticDetector(dtype=jnp.bfloat16), pool)
+
+
+def train_gsam(args):
+    """GroundedSAM-class recipe, two jointly-saved parts: a class-agnostic
+    grounder (the same open-vocab detector with the single phrase the
+    reference prompts, "A rigid object.", base_model.py:338) and a
+    box-prompted SAM trained with focal+dice on decode_box outputs. One
+    checkpoint tree {text, grounder, sam} + arch.json; loads at eval via
+    QUBER_GSAM_CKPT."""
+    import json as _json
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quber_tpu.models.open_vocab import DeticDetector
+    from quber_tpu.models.sam_hq import SAMHQ, init_sam_variables, sam_hq_mask_loss
+    from quber_tpu.models.sam_refiner import SAM_PIXEL_MEAN, SAM_PIXEL_STD
+
+    pool = _stage(make_detic_scenes(args.size, args.height, args.width,
+                                    args.seed, tuple(args.depth_range)))
+    arch = SAMHQ_SYNTH_ARCH
+    s = arch["img_size"]
+
+    # SAM leg: SAM-normalized square frames + GT boxes in the SAM frame
+    import cv2
+
+    np_pool = {"img": [], "boxes": [], "tgt": [], "valid": []}
+    bgr = np.asarray(pool["bgr"])
+    boxes = np.asarray(pool["boxes"])
+    masks = np.asarray(pool["masks"])
+    valid = np.asarray(pool["valid"])
+    sx, sy = s / args.width, s / args.height
+    q = s // 4
+    for i in range(bgr.shape[0]):
+        img = cv2.resize(bgr[i][..., ::-1], (s, s))
+        np_pool["img"].append((img - SAM_PIXEL_MEAN) / SAM_PIXEL_STD)
+        np_pool["boxes"].append(boxes[i] * np.asarray([sx, sy, sx, sy],
+                                                      np.float32))
+        np_pool["tgt"].append(np.stack([
+            cv2.resize(m, (q, q)) for m in masks[i]]))
+        np_pool["valid"].append(valid[i])
+    sam_pool = _stage({k: np.stack(v).astype(np.float32) if k != "valid"
+                       else np.stack(v) for k, v in np_pool.items()})
+
+    sam = SAMHQ(**arch)
+    sam_vars = init_sam_variables(sam, jax.random.PRNGKey(args.seed + 3))
+    sam_tx = optax.adam(args.lr)
+    sam_opt = sam_tx.init(sam_vars)
+    sam_state = {"v": sam_vars, "opt": sam_opt}
+
+    @jax.jit
+    def sam_step(variables, opt_state, sam_pool, idx):
+        img = sam_pool["img"][idx][None]
+
+        def loss_fn(v):
+            embed, interm = sam.apply(v, img, method=SAMHQ.encode)
+
+            def one(box, tgt, ok):
+                m_out, _iou, _all = sam.apply(
+                    v, embed, interm, box[None], False, True,
+                    method=SAMHQ.decode_box)
+                losses = sam_hq_mask_loss(m_out[:, 0], tgt[None])
+                return jax.tree.map(lambda x: x * ok, losses)
+
+            per = jax.vmap(one)(sam_pool["boxes"][idx], sam_pool["tgt"][idx],
+                                sam_pool["valid"][idx].astype(jnp.float32))
+            denom = jnp.maximum(sam_pool["valid"][idx].sum(), 1)
+            losses = jax.tree.map(lambda x: x.sum() / denom, per)
+            return sum(losses.values()), losses
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state2 = sam_tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss, parts
+
+    # interleave: one SAM step per grounder iteration, so --max-iter bounds
+    # both legs and the saved tree carries both
+    import numpy as _np
+
+    rng = _np.random.default_rng(args.seed + 7)
+
+    def sam_extra(it):
+        j = int(rng.integers(0, args.size))
+        sam_state["v"], sam_state["opt"], sl, _parts = sam_step(
+            sam_state["v"], sam_state["opt"], sam_pool, j)
+        return {"sam_total": sl}
+
+    _fit_detector_with_text(
+        args, ["A rigid object."], DeticDetector(dtype=jnp.bfloat16), pool,
+        extra_out=lambda: {"sam": sam_state["v"]}, extra_step=sam_extra)
+    with open(os.path.join(args.output_dir, "arch.json"), "w") as f:
+        _json.dump(arch, f)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model",
                         choices=["uoaisnet", "uoisnet3d", "ucn", "msmformer",
-                                 "rice"],
+                                 "rice", "cascadepsp", "samhq", "detic", "gsam"],
                         default="uoaisnet")
     parser.add_argument("--size", type=int, default=192,
                         help="number of pre-rendered scenes")
@@ -511,7 +969,9 @@ def main():
     if args.model != "uoaisnet":
         print(f"rendering {args.size} scenes ...", flush=True)
         {"uoisnet3d": train_uoisnet3d, "ucn": train_ucn, "rice": train_rice,
-         "msmformer": train_msmformer}[args.model](args)
+         "msmformer": train_msmformer, "cascadepsp": train_cascadepsp,
+         "samhq": train_samhq, "detic": train_detic,
+         "gsam": train_gsam}[args.model](args)
         return
 
     import numpy as np
