@@ -675,14 +675,13 @@ def train_samhq(args):
                 masks, _iou, _all = model.apply(
                     v, embed, interm, prompt[None, ..., None], False, True,
                     method=SAMHQ.decode)
-                losses = sam_hq_mask_loss(masks[:, 0], tgt[None])
-                return jax.tree.map(lambda x: x * ok, losses)
+                # focal+dice scalar per prompt, masked by slot validity
+                return sam_hq_mask_loss(masks[:, 0], tgt[None]) * ok
 
             per = jax.vmap(one)(pool["prompt"][idx], pool["tgt"][idx],
                                 pool["valid"][idx].astype(jnp.float32))
-            denom = jnp.maximum(pool["valid"][idx].sum(), 1)
-            losses = jax.tree.map(lambda x: x.sum() / denom, per)
-            return sum(losses.values()), losses
+            loss = per.sum() / jnp.maximum(pool["valid"][idx].sum(), 1)
+            return loss, {"focal_dice": loss}
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
         updates, opt_state2 = tx.update(grads, opt_state, variables)
@@ -760,7 +759,7 @@ def make_detic_scenes(n, h, w, seed, depth_range, slots=SLOTS):
 
 
 def _fit_detector_with_text(args, vocabulary, detector, pool, extra_out=None,
-                            extra_step=None):
+                            extra_step=None, detector_key="detector"):
     """Shared detic/grounder driver: jointly trains the hash-vocabulary
     text tower and the open-vocab detector with detic_losses. `extra_step`
     (it -> dict) runs once per iteration for co-trained legs (the gsam SAM
@@ -817,7 +816,8 @@ def _fit_detector_with_text(args, vocabulary, detector, pool, extra_out=None,
         return loss, parts
 
     def save(it):
-        tree = dict(state["p"])
+        tree = {"text": state["p"]["text"],
+                detector_key: state["p"]["detector"]}
         if extra_out:
             tree.update(extra_out())
         save_params(ckpt_dir, tree, step=it)
@@ -905,14 +905,12 @@ def train_gsam(args):
                 m_out, _iou, _all = sam.apply(
                     v, embed, interm, box[None], False, True,
                     method=SAMHQ.decode_box)
-                losses = sam_hq_mask_loss(m_out[:, 0], tgt[None])
-                return jax.tree.map(lambda x: x * ok, losses)
+                return sam_hq_mask_loss(m_out[:, 0], tgt[None]) * ok
 
             per = jax.vmap(one)(sam_pool["boxes"][idx], sam_pool["tgt"][idx],
                                 sam_pool["valid"][idx].astype(jnp.float32))
-            denom = jnp.maximum(sam_pool["valid"][idx].sum(), 1)
-            losses = jax.tree.map(lambda x: x.sum() / denom, per)
-            return sum(losses.values()), losses
+            loss = per.sum() / jnp.maximum(sam_pool["valid"][idx].sum(), 1)
+            return loss, {"focal_dice": loss}
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
         updates, opt_state2 = sam_tx.update(grads, opt_state, variables)
@@ -932,7 +930,8 @@ def train_gsam(args):
 
     _fit_detector_with_text(
         args, ["A rigid object."], DeticDetector(dtype=jnp.bfloat16), pool,
-        extra_out=lambda: {"sam": sam_state["v"]}, extra_step=sam_extra)
+        extra_out=lambda: {"sam": sam_state["v"]}, extra_step=sam_extra,
+        detector_key="grounder")
     with open(os.path.join(args.output_dir, "arch.json"), "w") as f:
         _json.dump(arch, f)
 
@@ -958,9 +957,17 @@ def main():
                         help="uoisnet3d: GBMS kernel bandwidth (uois config)")
     parser.add_argument("--gms-delta", type=float, default=0.1,
                         help="uoisnet3d: cluster-loss push margin")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin JAX to CPU (tiny smoke runs; leaves an "
+                             "attached TPU untouched)")
     args = parser.parse_args()
     if not args.output_dir:
         args.output_dir = f"output/{args.model}_synth"
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from quber_tpu.profiling import enable_compilation_cache
 
