@@ -122,22 +122,22 @@ def main():
                 "refined_objects_f": results["refined"]["Objects F-measure"],
                 "initial_boundary_f": results["initial"]["Boundary F-measure"],
                 "refined_boundary_f": results["refined"]["Boundary F-measure"],
-                "refined_miou": results["refined"].get("obj mIoU"),
+                "refined_miou": results["refined"].get("obj_mIOU"),
             })
 
     print(f"\n{'n_obj':>5} {'config':>8} {'ObjF i->r':>14} {'BdyF i->r':>14}")
     for row in curve:
         print(f"{row['n_objects']:>5} {row['config']:>8} "
-              f"{row['initial_objects_f']:>6.1f}->{row['refined_objects_f']:<6.1f} "
-              f"{row['initial_boundary_f']:>6.1f}->{row['refined_boundary_f']:<6.1f}")
+              f"{100 * row['initial_objects_f']:>6.1f}->{100 * row['refined_objects_f']:<6.1f} "
+              f"{100 * row['initial_boundary_f']:>6.1f}->{100 * row['refined_boundary_f']:<6.1f}")
 
     # capacity-vs-prior: at each point, how much does default generality
     # (200 centers / 64 slots) buy over the tuned 24/24 config?
     diag = {}
     if {"tuned", "default"} <= set(args.configs):
         by = {(r["n_objects"], r["config"]): r for r in curve}
-        gaps = {n: round(by[(n, "default")]["refined_boundary_f"]
-                         - by[(n, "tuned")]["refined_boundary_f"], 2)
+        gaps = {n: round(100 * (by[(n, "default")]["refined_boundary_f"]
+                                - by[(n, "tuned")]["refined_boundary_f"]), 2)
                 for n in args.points if (n, "default") in by and (n, "tuned") in by}
         diag["boundary_f_default_minus_tuned"] = gaps
         worst_gap = max(abs(v) for v in gaps.values()) if gaps else 0.0
