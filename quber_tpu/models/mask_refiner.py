@@ -83,6 +83,14 @@ class MaskRefinerConfig:
     top_k_instances: int = 200
     stuff_area: int = 2048
     min_instance_area: int = 512
+    # adaptive grouping: when every frame's NMS survivor count fits in
+    # fast_top_k, grouping + merge run at K=fast_top_k under a lax.cond
+    # (identical selection — survivors are row-major sorted with valids
+    # first, so the slice keeps them all) and only spill to the full
+    # top_k_instances pipeline on crowded frames. The O(K*H*W) distance
+    # argmin, the [*, K] one-hot stats matmul, and the K-entry relabel
+    # chain all scale with the executed K. 0 disables.
+    fast_top_k: int = 32
     # compute
     dtype: str = "float32"
     # rematerialize backbone blocks in the backward pass (training memory)
@@ -128,9 +136,21 @@ class MaskRefiner(nn.Module):
     def __call__(self, images, offset_enc=None, full_res=True):
         cfg = self.config
         dtype = cfg.compute_dtype
-        c = images.shape[-1]
-        mean = jnp.asarray(cfg.pixel_mean[:c], jnp.float32)
-        std = jnp.asarray(cfg.pixel_std[:c], jnp.float32)
+        # modality selection lives HERE, not in callers: data pipelines and
+        # predictors always hand the packed 6-ch RGBD frame, and a
+        # single-modality ablation (rgb-only / depth-only) takes its slice —
+        # the reference equivalently narrows the stem via INPUT.DEPTH_ON
+        # (mask-refiner-rgb-only.yaml + model.py:90-91 pixel stats). A
+        # caller that already sliced (3-ch input) passes through.
+        lo, hi = 0, 6
+        if not cfg.rgb_on:
+            lo = 3
+        if not cfg.depth_on:
+            hi = 3
+        if images.shape[-1] == 6 and (lo, hi) != (0, 6):
+            images = images[..., lo:hi]
+        mean = jnp.asarray(cfg.pixel_mean[lo:hi][: images.shape[-1]], jnp.float32)
+        std = jnp.asarray(cfg.pixel_std[lo:hi][: images.shape[-1]], jnp.float32)
         x = (images.astype(jnp.float32) - mean) / std
         if cfg.offset_input_on:
             assert offset_enc is not None

@@ -442,11 +442,78 @@ class MaskRefinerPredictor:
             return group_pixels_pallas(centers, cvalid, offsets)
         return group_pixels(centers, cvalid, offsets)
 
+    def _adaptive_fast_k(self):
+        """K for the adaptive grouping fast path, or None when disabled
+        (fast_top_k unset, or already >= the configured top_k)."""
+        cfg = self.config
+        if not cfg.fast_top_k or cfg.fast_top_k >= cfg.top_k_instances:
+            return None
+        return cfg.fast_top_k
+
+    def _group_and_post(self, pre):
+        """Pixel grouping + merge/score with adaptive-K dispatch.
+
+        The reference default keeps 200 center candidates
+        (post_processing.py:165-222) and every K-scaled stage pays for all
+        200 even though tabletop scenes fire < ~25 centers. Survivor counts
+        are data-dependent, so the dispatch is a lax.cond: the fast branch
+        slices the (row-major-sorted, valids-first) center table to
+        fast_top_k — exact whenever the count fits — and pads the score
+        table back to the top_k shape.
+        """
+        fk = self._adaptive_fast_k()
+        if fk is None:
+            raw = self._group(pre["centers"], pre["centers_valid"], pre["offset"])
+            return self._post_impl(pre, raw)
+        pad = self.config.top_k_instances - fk
+
+        def fast(_):
+            pre_s = dict(pre, centers=pre["centers"][:fk],
+                         centers_valid=pre["centers_valid"][:fk])
+            raw = self._group(pre_s["centers"], pre_s["centers_valid"],
+                              pre["offset"])
+            out = self._post_impl(pre_s, raw)
+            out["instance_scores"] = jnp.pad(out["instance_scores"], (0, pad))
+            return out
+
+        def slow(_):
+            raw = self._group(pre["centers"], pre["centers_valid"], pre["offset"])
+            return self._post_impl(pre, raw)
+
+        n = jnp.sum(pre["centers_valid"].astype(jnp.int32))
+        return jax.lax.cond(n <= fk, fast, slow, None)
+
+    def _group_and_post_batch(self, pre):
+        """Batched twin of _group_and_post. The cond is batch-wide (a
+        per-frame cond under vmap would execute both branches as selects):
+        one crowded frame spills the whole batch to the top_k path."""
+        fk = self._adaptive_fast_k()
+        if fk is None:
+            raw = self._group_batch(pre)
+            return jax.vmap(self._post_impl)(pre, raw)
+        pad = self.config.top_k_instances - fk
+
+        def fast(_):
+            pre_s = dict(pre, centers=pre["centers"][:, :fk],
+                         centers_valid=pre["centers_valid"][:, :fk])
+            raw = self._group_batch(pre_s)
+            outs = jax.vmap(self._post_impl)(pre_s, raw)
+            outs["instance_scores"] = jnp.pad(
+                outs["instance_scores"], ((0, 0), (0, pad))
+            )
+            return outs
+
+        def slow(_):
+            raw = self._group_batch(pre)
+            return jax.vmap(self._post_impl)(pre, raw)
+
+        n = jnp.max(jnp.sum(pre["centers_valid"].astype(jnp.int32), axis=1))
+        return jax.lax.cond(n <= fk, fast, slow, None)
+
     def _pipeline_impl(self, params, image, masks, valid):
         """image [H, W, 6] f32, masks [N, H, W] bool, valid [N] bool."""
         pre = self._pre_impl(params, image, masks, valid)
-        raw = self._group(pre["centers"], pre["centers_valid"], pre["offset"])
-        return self._post_impl(pre, raw)
+        return self._group_and_post(pre)
 
     # ------------------------------------------------------------------
     # Packed transfer path.
@@ -831,8 +898,7 @@ class MaskRefinerPredictor:
         natively-batched Pallas encode + grouping kernels."""
         unpack = self._unpack_for(input_rle)
         pre = self._pre_batch(params, bufs, unpack)
-        raw = self._group_batch(pre)
-        outs = jax.vmap(self._post_impl)(pre, raw)
+        outs = self._group_and_post_batch(pre)
         return jax.vmap(self._pack_out)(outs)
 
     def _pipeline_dense_batch_impl(self, params, tensors):
@@ -843,16 +909,14 @@ class MaskRefinerPredictor:
         the per-batch decode pass (~40% of pipeline time at 480x640 b16)."""
         images, masks, valids = tensors
         pre = self._pre_batch_tensors(params, images, masks, valids)
-        raw = self._group_batch(pre)
-        outs = jax.vmap(self._post_impl)(pre, raw)
+        outs = self._group_and_post_batch(pre)
         return jax.vmap(self._pack_out)(outs)
 
     def _pipeline_dense_batch_rle_impl(self, params, tensors):
         """Dense-input variant of _pipeline_packed_batch_rle_impl."""
         images, masks, valids = tensors
         pre = self._pre_batch_tensors(params, images, masks, valids)
-        raw = self._group_batch(pre)
-        outs = jax.vmap(self._post_impl)(pre, raw)
+        outs = self._group_and_post_batch(pre)
         rle = jax.vmap(self._pack_out_rle)(outs)
         pan_raw = jax.vmap(
             lambda o: self._pack_pan_planes(o["panoptic_seg"].reshape(-1))
@@ -883,8 +947,7 @@ class MaskRefinerPredictor:
         frame's run count overflows the RLE budget."""
         unpack = self._unpack_for(input_rle)
         pre = self._pre_batch(params, bufs, unpack)
-        raw = self._group_batch(pre)
-        outs = jax.vmap(self._post_impl)(pre, raw)
+        outs = self._group_and_post_batch(pre)
         rle = jax.vmap(self._pack_out_rle)(outs)
         pan_raw = jax.vmap(
             lambda o: self._pack_pan_planes(o["panoptic_seg"].reshape(-1))

@@ -7,6 +7,7 @@ Drop-in equivalent of /root/reference/eval/run_eval.py:
 """
 
 import argparse
+import os
 
 
 def main():
@@ -44,6 +45,9 @@ def main():
     parser.add_argument("--visualize", action="store_true")
     parser.add_argument("--vis_dir", default="./vis")
     parser.add_argument("--csv", default="./eval_results.csv")
+    parser.add_argument("--tag", default=None,
+                        help="provenance tag recorded in the CSV row "
+                             "(default: <weights-basename>|<mode>[|limitN])")
     args = parser.parse_args()
 
     from quber_tpu.config import from_detectron2_yaml, load_config
@@ -68,6 +72,16 @@ def main():
         # reference semantics: the fg filter is opt-in via --use-cgnet
         refiner_name = "maskrefiner-nofilter"
 
+    tag = args.tag
+    if tag is None:
+        ckpt = "random-init"
+        if args.weights_file:
+            ckpt = os.path.basename(os.path.normpath(args.weights_file))
+            if ckpt == "ckpt":  # orbax dirs are <run>/ckpt — use the run name
+                ckpt = os.path.basename(os.path.dirname(os.path.normpath(args.weights_file)))
+        mode = f"batch{args.refine_batch}" if args.refine_batch else "per-image"
+        tag = f"{ckpt}|{mode}" + (f"|limit{args.limit}" if args.limit else "")
+
     run_eval(
         base_model=args.base_model,
         refiner_model=refiner_name,
@@ -81,6 +95,7 @@ def main():
         vis_dir=args.vis_dir,
         csv_path=args.csv,
         refine_batch=args.refine_batch,
+        tag=tag,
     )
 
 

@@ -193,3 +193,81 @@ def test_topk_2stage_matches_lax_topk():
         keep_ref = sorted(int(i) for v, i in zip(vr, ir) if float(v) > bound)
         keep_2st = sorted(int(i) for v, i in zip(v2, i2) if float(v) > bound)
         assert keep_ref == keep_2st
+
+
+def _synthetic_pre(n_peaks, h=96, w=128, top_k=200):
+    """A pre-stage dict with n_peaks well-separated centers: every ~16px
+    grid cell gets a gaussian bump; offsets point each pixel at its cell's
+    center, fg covers disks around the centers."""
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    heat = np.zeros((h, w), np.float32)
+    offs = np.zeros((2, h, w), np.float32)
+    fg = np.zeros((h, w), np.float32)
+    cells = [(cy, cx) for cy in range(8, h, 16) for cx in range(8, w, 16)]
+    centers = cells[:n_peaks]
+    assert len(centers) == n_peaks
+    # nearest-center offsets
+    cy = np.array([c[0] for c in centers], np.float32)
+    cx = np.array([c[1] for c in centers], np.float32)
+    d2 = (ys[None] - cy[:, None, None]) ** 2 + (xs[None] - cx[:, None, None]) ** 2
+    near = np.argmin(d2, axis=0)
+    offs[0] = cy[near] - ys
+    offs[1] = cx[near] - xs
+    for i, (py, px) in enumerate(centers):
+        heat[py, px] = 0.9
+        fg[(ys - py) ** 2 + (xs - px) ** 2 < 36] = 1.0
+    from quber_tpu.ops.grouping import find_instance_centers
+
+    c, v = find_instance_centers(jnp.asarray(heat), 0.3, 7, top_k)
+    return {
+        "sem_seg": jnp.asarray(fg * 8 - 4),
+        "fg_prob": jnp.asarray(fg),
+        "fg_bin": jnp.asarray(fg).astype(jnp.int32),
+        "center": jnp.asarray(heat),
+        "offset": jnp.asarray(offs),
+        "centers": c,
+        "centers_valid": v,
+    }, n_peaks
+
+
+def test_adaptive_grouping_matches_full():
+    """The fast_top_k lax.cond dispatch is exact in both regimes: few peaks
+    (fast branch: sliced center table) and crowded (slow branch spill)."""
+    from quber_tpu.models.mask_refiner import MaskRefinerConfig
+    from quber_tpu.predictor import MaskRefinerPredictor
+
+    h, w = 96, 128
+    cfg_a = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False,
+                              min_instance_area=8, fast_top_k=8)
+    cfg_f = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False,
+                              min_instance_area=8, fast_top_k=0)
+    pa = MaskRefinerPredictor(cfg_a, max_instances=8)
+    pf = MaskRefinerPredictor(cfg_f, max_instances=8)
+    assert pa._adaptive_fast_k() == 8 and pf._adaptive_fast_k() is None
+
+    for n_peaks in (5, 13):  # 5 <= fast_top_k < 13
+        pre, _ = _synthetic_pre(n_peaks, h, w)
+        out_a = pa._group_and_post(pre)
+        out_f = pf._group_and_post(pre)
+        np.testing.assert_array_equal(np.asarray(out_a["panoptic_seg"]),
+                                      np.asarray(out_f["panoptic_seg"]))
+        assert int(out_a["num_instances"]) == int(out_f["num_instances"]) == n_peaks
+        assert out_a["instance_scores"].shape == out_f["instance_scores"].shape
+        np.testing.assert_allclose(np.asarray(out_a["instance_scores"]),
+                                   np.asarray(out_f["instance_scores"]), rtol=1e-6)
+
+    # batched twin: mixed batch below the bound takes the fast branch;
+    # a single crowded frame spills the whole batch — both must equal the
+    # non-adaptive result frame by frame
+    import jax
+
+    for counts in ((3, 6), (6, 13)):
+        pres = [_synthetic_pre(n, h, w)[0] for n in counts]
+        batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        out_a = pa._group_and_post_batch(batch)
+        out_f = pf._group_and_post_batch(batch)
+        np.testing.assert_array_equal(np.asarray(out_a["panoptic_seg"]),
+                                      np.asarray(out_f["panoptic_seg"]))
+        np.testing.assert_allclose(np.asarray(out_a["instance_scores"]),
+                                   np.asarray(out_f["instance_scores"]), rtol=1e-6)

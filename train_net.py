@@ -318,6 +318,7 @@ def main():
                 params={"params": state.params, "batch_stats": state.batch_stats},
                 limit=args.eval_limit,
                 csv_path=os.path.join(output_dir, "eval.csv"),
+                tag=f"train-eval@{it + 1}",
             )
 
 
