@@ -51,6 +51,8 @@ class GT:
             anno_path = rgb_path.replace("image_color", "annotation")
         elif self.dataset == "OCID":
             anno_path = rgb_path.replace("rgb", "label")
+        elif self.dataset == "WISDOM":
+            anno_path = rgb_path.replace("color_ims", "modal_segmasks")
         else:
             anno_path = rgb_path.replace("rgb", "annotation")
         anno = np.asarray(imageio.imread(anno_path))
