@@ -34,6 +34,10 @@ for ds in OCID WISDOM HOPE DoPose; do
     --csv eval_walkers_synth.csv --tag "flagship_synth_r3c|walker-twin"
 done
 
+# --- validate the reworked bench (adaptive-K default config + fenced
+#     streaming) before the driver's own round-end run ---
+stage bench_r4 python bench.py
+
 # --- open-vocab detector-strength leg: a 4x-longer detic stand-in run
 #     separates detector quality from threshold as the refined-plateau
 #     cause (VERDICT r3 item 6) ---
@@ -51,8 +55,5 @@ stage sweep_detic8k_0.3 env QUBER_DETIC_CKPT=output/detic_synth_8k/ckpt \
   --test-dataset OSD --dataset-path datasets/synth_osd \
   --weights-file output/flagship_synth_r3c/ckpt --limit 100 \
   --csv eval_openvocab_sweep.csv --tag "detic8k|thr0.3|r3c"
-
-# --- final measurements: adaptive-K default config + fenced streaming ---
-stage bench_r4 python bench.py
 
 echo QUEUE2_COMPLETE | tee -a $Q/queue.log
