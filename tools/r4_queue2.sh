@@ -23,6 +23,15 @@ stage () {
   fi
 }
 
+# --- code-drift control: the r3c flagship checkpoint re-evaluated under
+#     the round-4 code (adaptive grouping) must reproduce the round-3 row;
+#     also the same-code anchor for the ablation-grid deltas ---
+stage eval_r3c_recheck python run_eval.py \
+  --config-file configs/mask_refiner_rgbd_concat_l2_gn_hf_m_b_f_c_o_l3_e2_b8.yaml \
+  --base-model perturbed-gt --refiner-model maskrefiner --test-dataset OSD \
+  --dataset-path datasets/synth_osd --weights-file output/flagship_synth_r3c/ckpt \
+  --limit 200 --csv eval_ablation_synth.csv --tag "flagship-r3c-recheck|r4-code|per-image"
+
 # --- walker harness smokes with the trained flagship: every real-dataset
 #     walker produces a CSV row on its synthetic layout twin ---
 for ds in OCID WISDOM HOPE DoPose; do
