@@ -217,12 +217,22 @@ def main():
     streaming.sort()
     streaming_fps = streaming[len(streaming) // 2]
 
-    slowest_ms = max(pack_ms, h2d_ms, compute_drain_ms)
+    # The tunneled link swings hour to hour, so the single fenced H2D
+    # sample can catch a slower link state than the streaming trials
+    # enjoy — which would report pipeline_efficiency > 1 (seen: fenced
+    # 9 MB/s vs 27.7 MB/s at the online tuner minutes later). Use the
+    # best link estimate available (fenced sample vs the predictor's
+    # online multi-stream tuner) for the bound, keep the raw fenced
+    # numbers, and flag the swing explicitly when the fence undershot.
+    streams, mbps = predictor._h2d_tuner.best()
+    link_mbps_best = max(link_mbps_fenced, mbps)
+    h2d_ms_best = 1e3 * wire_bytes_per_frame / 1e6 / link_mbps_best
+    slowest_ms = max(pack_ms, h2d_ms_best, compute_drain_ms)
     bound_fps = 1e3 / slowest_ms
-    bottleneck = max(("pack", pack_ms), ("h2d", h2d_ms),
+    bottleneck = max(("pack", pack_ms), ("h2d", h2d_ms_best),
                      ("compute_drain", compute_drain_ms),
                      key=lambda kv: kv[1])[0]
-    streams, mbps = predictor._h2d_tuner.best()
+    link_swing = streaming[-1] > link_fps_ceiling
     print(json.dumps({
         "metric": "e2e_refine_fps_per_chip_480x640",
         "value": round(fps, 2),
@@ -239,8 +249,10 @@ def main():
         "compute_drain_ms": round(compute_drain_ms, 2),
         "link_mbps_fenced": round(link_mbps_fenced, 1),
         "link_fps_ceiling": round(link_fps_ceiling, 1),
+        "link_mbps_best": round(link_mbps_best, 1),
         "pipeline_bound_fps": round(bound_fps, 2),
         "pipeline_efficiency": round(streaming[-1] / bound_fps, 3),
+        "link_swing": bool(link_swing),
         "bottleneck": bottleneck,
         "h2d_streams": streams,
         "h2d_mbps_online": round(mbps, 1),
