@@ -171,6 +171,56 @@ def main():
     fps_default = sorted(rates_d)[len(rates_d) // 2]
     del staged_d, predictor_d
 
+    # default-config gap ATTRIBUTION (round-4 VERDICT item 5): the tuned and
+    # default configs differ on two axes (top_k 24 vs 200, slots 24 vs 64);
+    # time the two single-axis hybrids so the artifact itself decomposes the
+    # gap into its top_k-scaled part (NMS top-k candidate sort, score-table
+    # pad) and its slot-scaled part (initial-mask encode/decode width).
+    def _hybrid_fps(top_k, slots):
+        c = MaskRefinerConfig(dtype="bfloat16", top_k_instances=top_k)
+        p = MaskRefinerPredictor(c, params=params, max_instances=slots)
+        s = p.stage_frames(frames, batch_size=batch_size)
+        for _ in p.predict_batch_stream_staged(s, use_rle=use_rle):
+            pass  # warmup/compile
+        r = []
+        for _ in range(2):
+            t0 = time.time()
+            n = sum(1 for _ in p.predict_batch_stream_staged(s, use_rle=use_rle))
+            assert n == iters
+            r.append(iters / (time.time() - t0))
+        return max(r)
+
+    try:
+        fps_k200_n24 = _hybrid_fps(200, 24)
+        fps_k24_n64 = _hybrid_fps(24, 64)
+    except Exception:
+        fps_k200_n24 = fps_k24_n64 = None  # attribution is best-effort;
+        # the headline + default numbers above must still reach the JSON
+
+    # chip-capability anchor (round-4 VERDICT item 9): forward-pass MFU =
+    # compiled model FLOPs x measured e2e frame rate / chip peak. FLOPs come
+    # from XLA's own cost model on the exact compiled forward; peak is bf16
+    # on TPU v5e (197 TFLOP/s). This prices the headline FPS in chip terms:
+    # it says whether further perf work has headroom or the chip is busy.
+    mfu_forward = flops_forward = None
+    try:
+        import jax.numpy as jnp
+
+        model = predictor.model
+        fwd = jax.jit(lambda p, x, o: model.apply(p, x, o))
+        args = (
+            predictor.params,
+            jnp.zeros((1, h, w, 6), jnp.float32),
+            jnp.zeros((1, h, w, 3), jnp.float32),
+        )
+        ca = fwd.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_forward = float(ca.get("flops", 0.0))
+        if flops_forward > 0:
+            mfu_forward = flops_forward * fps / 197e12
+    except Exception:
+        pass
+
     # secondary: the full streaming-from-host loop through whatever link
     # this host has (host pack + H2D + compute + D2H + decode), reported
     # with the FENCED stage decomposition (tools/bench_stream_decomp.py
@@ -232,7 +282,11 @@ def main():
     bottleneck = max(("pack", pack_ms), ("h2d", h2d_ms_best),
                      ("compute_drain", compute_drain_ms),
                      key=lambda kv: kv[1])[0]
-    link_swing = streaming[-1] > link_fps_ceiling
+    # flag ANY use of the online tuner estimate over the fenced sample, not
+    # just the case where the measured loop beat the fenced ceiling (the
+    # tuner silently raising the bound was itself unflagged before —
+    # ADVICE r4)
+    link_swing = (mbps > link_mbps_fenced) or (streaming[-1] > link_fps_ceiling)
     print(json.dumps({
         "metric": "e2e_refine_fps_per_chip_480x640",
         "value": round(fps, 2),
@@ -240,6 +294,15 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "weights": weights,
         "fps_default_config": round(fps_default, 2),
+        "default_gap_pct": round(100.0 * (1.0 - fps_default / fps), 1),
+        "fps_k200_n24": round(fps_k200_n24, 2) if fps_k200_n24 else None,
+        "fps_k24_n64": round(fps_k24_n64, 2) if fps_k24_n64 else None,
+        "gap_topk_ms": round(1e3 / fps_k200_n24 - 1e3 / fps, 3)
+        if fps_k200_n24 else None,
+        "gap_slots_ms": round(1e3 / fps_k24_n64 - 1e3 / fps, 3)
+        if fps_k24_n64 else None,
+        "mfu_forward": round(mfu_forward, 4) if mfu_forward else None,
+        "flops_forward": flops_forward,
         "streaming_fps": round(streaming_fps, 2),
         "streaming_fps_best": round(streaming[-1], 2),
         "streaming_trials": [round(r, 2) for r in streaming],

@@ -175,6 +175,7 @@ def run_eval(
             refined_times = [total / n_done] * n_done
         rgb_paths = []  # the per-image loop below is skipped
 
+    t_start = time.time()
     for rgb_path, depth_path, anno_path in zip(rgb_paths, depth_paths, anno_paths):
         anno = load_annotation(anno_path, test_dataset, rgb_path)
 
@@ -196,6 +197,11 @@ def run_eval(
             rgb_path, depth_path, initial_masks, fg_mask
         )
         refined_times.append(t_ref)
+        if t_start is not None:
+            # time-to-first-refined-image ~ restore + base/refiner compile;
+            # the chip queue's compile-vs-run accounting greps this line
+            print(f"[timing] compile_s={time.time() - t_start:.1f}", flush=True)
+            t_start = None
 
         initial_pred = masks_to_label_image(initial_masks, anno)
         refined_pred = masks_to_label_image(refined_masks, anno)
@@ -221,10 +227,17 @@ def run_eval(
     # and artifacts carry `n` so readers can judge them.
     try:
         import json
+        import re
 
+        # per-TAG sidecars: a bare time_<dataset>.json is last-writer-wins
+        # across runs with different configs/loads (ADVICE r4: the committed
+        # time_OSD.json ended up holding a contended CGNet-filter run while
+        # docs cited it for flagship timing). The tag keys the file to the
+        # run that produced it; untagged runs keep the legacy name.
+        slug = re.sub(r"[^A-Za-z0-9._-]+", "_", tag)[:80] if tag else ""
         path = os.path.join(
             os.path.dirname(os.path.abspath(csv_path)) or ".",
-            f"time_{test_dataset}.json",
+            f"time_{test_dataset}{'_' + slug if slug else ''}.json",
         )
         prev = None
         if os.path.exists(path):

@@ -60,7 +60,7 @@ def nms_heatmap(heatmap: jnp.ndarray, threshold: float = 0.1, nms_kernel: int = 
     return jnp.where(x == pooled, x, -1.0)
 
 
-def _topk_2stage(x: jnp.ndarray, k: int, seg: int = 512):
+def _topk_2stage(x: jnp.ndarray, k: int, seg: int | None = None):
     """Exact top-k of a flat array via segment-max preselection.
 
     lax.top_k over the full 480x640 heatmap is a sort-scale op (~2 ms/frame
@@ -70,8 +70,25 @@ def _topk_2stage(x: jnp.ndarray, k: int, seg: int = 512):
     a larger max (each such max is itself a bigger element), so the k
     max-ranked segments contain every global top-k element; downstream
     consumers see the same value multiset, and find_instance_centers keeps
-    survivors by value (> bound), never by top-k rank order."""
+    survivors by value (> bound), never by top-k rank order.
+
+    The exactness argument holds for ANY seg, so seg is chosen to balance
+    the two sorts (n/seg segment maxes vs k*seg candidates): seg ~
+    sqrt(n/k), snapped to a power of two >= 64 dividing n. A fixed seg=512
+    was tuned for the serving K=24 and quietly made the reference-default
+    K=200 sort 200*512=102k candidates — the bulk of the r4 default-config
+    bench gap (BENCH_r04.json 141 vs 173 FPS)."""
     n = x.shape[0]
+    if seg is None:
+        best = None
+        s = 64
+        while s * s <= 4 * n:
+            if n % s == 0 and n // s >= k:
+                cost = n // s + k * s
+                if best is None or cost < best[0]:
+                    best = (cost, s)
+            s *= 2
+        seg = best[1] if best else 512
     if n % seg or n // seg < k:
         return lax.top_k(x, k)
     g = n // seg

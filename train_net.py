@@ -284,6 +284,7 @@ def main():
     rng = jax.random.PRNGKey(train_cfg.seed)
     t0 = time.time()
     start = int(state.step)
+    t_first = step_flops = None
     for it in range(start, train_cfg.max_iter):
         if device_pool is not None:
             batch = device_pool()
@@ -293,13 +294,34 @@ def main():
                 batch = batch["packed"]
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, batch, step_rng)
+        if t_first is None:
+            # time-to-first-step ~ compile time: the queue's compile-vs-run
+            # accounting greps this line (tools/r5_chip.sh stage())
+            jax.block_until_ready(metrics)
+            t_first = time.time() - t0
+            print(f"[timing] compile_s={t_first:.1f}", flush=True)
+            try:  # XLA's own FLOP count of the exact compiled step (for MFU).
+                # lower().compile() bypasses the jit cache, so only attempt it
+                # when the persistent compilation cache is on (the entry the
+                # first step just wrote makes this a cache hit, not a second
+                # multi-minute remote compile)
+                if jax.config.jax_compilation_cache_dir:
+                    ca = train_step.lower(state, batch, step_rng).compile(
+                    ).cost_analysis()
+                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                    step_flops = float(ca.get("flops", 0.0)) or None
+            except Exception:
+                step_flops = None
+            t0 = time.time()
         if (it + 1) % args.log_period == 0 or it + 1 == train_cfg.max_iter:
             metrics = {k: float(v) for k, v in metrics.items()}
             rate = args.log_period / (time.time() - t0)
             t0 = time.time()
+            # train-step MFU: compiled-step FLOPs x steps/s / v5e bf16 peak
+            mfu = f" mfu={step_flops * rate / 197e12:.3f}" if step_flops else ""
             print(f"iter {it + 1}/{train_cfg.max_iter} "
                   + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
-                  + f" ({rate:.2f} it/s)", flush=True)
+                  + f" ({rate:.2f} it/s){mfu}", flush=True)
         if (it + 1) % train_cfg.checkpoint_period == 0 or it + 1 == train_cfg.max_iter:
             save_state(os.path.join(output_dir, "ckpt"), state)
             print(f"checkpoint saved at {it + 1}")
