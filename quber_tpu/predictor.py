@@ -285,6 +285,12 @@ class MaskRefinerPredictor:
         self._pipeline_rlecin_batch_rle = jax.jit(
             partial(self._pipeline_packed_batch_rle_impl, input_rle="codec")
         )
+        self._pipeline_rlec5in_batch = jax.jit(
+            partial(self._pipeline_packed_batch_impl, input_rle="codec5")
+        )
+        self._pipeline_rlec5in_batch_rle = jax.jit(
+            partial(self._pipeline_packed_batch_rle_impl, input_rle="codec5")
+        )
         self._pipeline_dense_batch = jax.jit(self._pipeline_dense_batch_impl)
         self._pipeline_dense_batch_rle = jax.jit(
             self._pipeline_dense_batch_rle_impl
@@ -340,9 +346,30 @@ class MaskRefinerPredictor:
             self._rgb_codec_block + self._depth_block
             + 8 * self.max_in_runs + self._valid_bytes
         )
+        # 5-bit fallback codec: textured/noisy RGB whose residuals blow the
+        # 4-bit escape budget (the hardened synthetic scenes run ~27%
+        # escapes at 4 bits, max 49%) usually still fits signed 5-bit
+        # fields — 0.625 B/px + escapes instead of raw 1 B/px, a ~20% wire
+        # cut exactly on the streams where the 4-bit codec used to fall
+        # back to raw. Budget 3/16 (18.75%): the hardened-texture scenes
+        # measure 6.3% mean / 16.9% max 5-bit escapes, so the worst frame
+        # fits with margin while the block stays 0.81x raw RGB.
+        self.max_rgb_esc5 = (3 * h * w) * 3 // 16
+        self._rgb5_bytes = (3 * h * w * 5 + 7) // 8
+        self._rgb_codec5_block = 4 + self._rgb5_bytes + self.max_rgb_esc5
+        self._in_bytes_rlec5 = (
+            self._rgb_codec5_block + self._depth_block
+            + 8 * self.max_in_runs + self._valid_bytes
+        )
         # sticky skip once a stream sees an incompressible batch, so steady
-        # full-entropy workloads don't pay the codec attempt per frame
+        # full-entropy workloads don't pay the codec attempt per frame.
+        # The 5-bit tier tolerates occasional over-budget batches (those go
+        # raw individually) and only disarms after 3 consecutive failures —
+        # one outlier frame must not push a whole compressible stream to
+        # raw for its lifetime.
         self._rgb_codec_ok = True
+        self._rgb_codec5_ok = True
+        self._rgb_codec5_strikes = 0
         self._scores_len = cfg.top_k_instances + 2
         # raw panoptic maps travel as bitplanes: ids are <= n + 1, so
         # ceil(log2(n + 2)) planes of h*w/8 bytes each (5 bits/pixel at
@@ -594,13 +621,49 @@ class MaskRefinerPredictor:
         block[4 + nbytes : 4 + nbytes + n_esc] = delta[esc]
         return block
 
+    def _encode_rgb_5bit(self, rgb_img):
+        """Planar first-difference 5-bit RGB codec (layout in __init__):
+        signed 5-bit fields in [-15, 15], 0b10000 (-16) the escape marker,
+        packed LSB-first (value i at stream bits [5i, 5i+5), matching the
+        device decode's little-endian window extraction). Holds on the
+        textured/noisy streams where the 4-bit codec overflows its escape
+        budget. Returns the block or None on escape-budget overflow.
+        The C++ single-pass encoder (csrc/codec.cpp rgb_5bit_encode) is
+        used when built; this numpy body is the byte-identical fallback."""
+        if _native.available():
+            block = np.empty((self._rgb_codec5_block,), np.uint8)
+            n_esc = _native.rgb_5bit_encode(
+                np.asarray(rgb_img, np.uint8), self.max_rgb_esc5, block
+            )
+            return None if n_esc < 0 else block
+        rgbp = np.ascontiguousarray(
+            np.asarray(rgb_img, np.uint8).transpose(2, 0, 1)
+        ).reshape(-1)
+        delta = rgbp.copy()
+        delta[1:] -= rgbp[:-1]  # u8 wraparound == mod-256 residual
+        s = delta.view(np.int8)
+        esc = (s < -15) | (s > 15)
+        n_esc = int(esc.sum())
+        if n_esc > self.max_rgb_esc5:
+            return None
+        field = np.where(esc, np.uint8(16), delta & np.uint8(0x1F))
+        # LSB-first bit pack: bit j of value i -> stream bit 5i + j
+        bits = (field[:, None] >> np.arange(5, dtype=np.uint8)) & 1
+        packed = np.packbits(bits.reshape(-1), bitorder="little")
+        block = np.zeros((self._rgb_codec5_block,), np.uint8)
+        block[:4] = np.array([n_esc], np.uint32).view(np.uint8)
+        block[4 : 4 + packed.size] = packed
+        block[4 + self._rgb5_bytes : 4 + self._rgb5_bytes + n_esc] = delta[esc]
+        return block
+
     def _pack_inputs_rle(self, rgb_img, depth_img, perturbed_masks,
-                         rgb_codec: bool = False):
+                         rgb_codec: int = 0):
         """RLE input layout: [rgb | n_nz u32 | depth-delta pos u32 x D |
         depth-delta val u8 x D | starts u32 x R | ends u32 x R | valid].
-        With `rgb_codec`, the raw rgb block is replaced by the 4-bit
-        delta-codec block from _encode_rgb_nibbles (~0.6x the bytes for
-        camera-like RGB).
+        With `rgb_codec` (4 or 5), the raw rgb block is replaced by the
+        4-bit nibble block from _encode_rgb_nibbles (~0.6x the bytes for
+        camera-like RGB) or the 5-bit block from _encode_rgb_5bit (~0.7x,
+        holds on textured streams where 4-bit escapes overflow).
 
         Depth is delta-coded (first difference of the flattened mono map,
         mod 256) with only the nonzero deltas stored sparsely; the device
@@ -615,6 +678,7 @@ class MaskRefinerPredictor:
         h, w, n = cfg.height, cfg.width, self.max_instances
         r = self.max_in_runs
         dmax = self.max_depth_nz
+        rgb_codec = 4 if rgb_codec is True else int(rgb_codec or 0)
         depth_img = np.asarray(depth_img)
         dmono = depth_img[..., 0] if depth_img.ndim == 3 else depth_img
         dflat = dmono.reshape(-1).astype(np.uint8)
@@ -651,12 +715,17 @@ class MaskRefinerPredictor:
         else:
             starts = ends = np.zeros((0,), np.int64)
         if rgb_codec:
-            rgb_block = self._encode_rgb_nibbles(rgb_img)
+            if rgb_codec == 5:
+                rgb_block = self._encode_rgb_5bit(rgb_img)
+                nbytes, blk = self._in_bytes_rlec5, self._rgb_codec5_block
+            else:
+                rgb_block = self._encode_rgb_nibbles(rgb_img)
+                nbytes, blk = self._in_bytes_rlec, self._rgb_codec_block
             if rgb_block is None:
                 return None
-            buf = np.empty((self._in_bytes_rlec,), np.uint8)
-            buf[: self._rgb_codec_block] = rgb_block
-            o = self._rgb_codec_block
+            buf = np.empty((nbytes,), np.uint8)
+            buf[:blk] = rgb_block
+            o = blk
         else:
             buf = np.empty((self._in_bytes_rle,), np.uint8)
             buf[: self._rgb_bytes] = np.asarray(rgb_img, np.uint8).reshape(-1)
@@ -679,7 +748,7 @@ class MaskRefinerPredictor:
         return buf
 
     def _pack_inputs_rle_native(self, rgb_img, dflat, perturbed_masks,
-                                rgb_codec: bool):
+                                rgb_codec: int):
         """Single-pass C++ pack (csrc/codec.cpp): byte-identical to the
         numpy body of _pack_inputs_rle, writing each block straight into
         the transfer buffer. Ordered cheapest-first so budget-overflow
@@ -690,11 +759,13 @@ class MaskRefinerPredictor:
         r = self.max_in_runs
         dmax = self.max_depth_nz
         total = n * h * w
-        buf = np.empty(
-            (self._in_bytes_rlec if rgb_codec else self._in_bytes_rle,),
-            np.uint8,
-        )
-        o = self._rgb_codec_block if rgb_codec else self._rgb_bytes
+        nbytes, blk = {
+            0: (self._in_bytes_rle, self._rgb_bytes),
+            4: (self._in_bytes_rlec, self._rgb_codec_block),
+            5: (self._in_bytes_rlec5, self._rgb_codec5_block),
+        }[int(rgb_codec)]
+        buf = np.empty((nbytes,), np.uint8)
+        o = blk
         kd = _native.depth_delta_encode(
             dflat, dmax, h * w,
             buf[o + 4 : o + 4 + 4 * dmax],
@@ -716,7 +787,14 @@ class MaskRefinerPredictor:
         else:
             sent = np.full((2 * r,), total, np.uint32)
             buf[ro : ro + 8 * r] = sent.view(np.uint8)
-        if rgb_codec:
+        if rgb_codec == 5:
+            ne = _native.rgb_5bit_encode(
+                np.asarray(rgb_img, np.uint8), self.max_rgb_esc5,
+                buf[: self._rgb_codec5_block],
+            )
+            if ne < 0:
+                return None
+        elif rgb_codec:
             ne = _native.rgb_nibble_encode(
                 np.asarray(rgb_img, np.uint8), self.max_rgb_esc,
                 buf[: self._rgb_codec_block],
@@ -730,34 +808,48 @@ class MaskRefinerPredictor:
         buf[ro + 8 * r :] = np.packbits(valid)
         return buf
 
-    def _unpack_buf_rle(self, buf, rgb_codec: bool = False):
+    def _unpack_buf_rle(self, buf, rgb_codec: int = 0):
         cfg = self.config
         h, w, n = cfg.height, cfg.width, self.max_instances
         r = self.max_in_runs
         dmax = self.max_depth_nz
+        rgb_codec = 4 if rgb_codec is True else int(rgb_codec or 0)
         if rgb_codec:
-            # inverse of _encode_rgb_nibbles: nibbles -> signed residuals,
-            # escape positions recovered from the marker mask by prefix sum,
-            # pixels rebuilt with one planar mod-256 cumsum.
-            nbytes = (3 * h * w) // 2
-            nb = buf[4 : 4 + nbytes]
-            v = jnp.stack(
-                [(nb >> 4).astype(jnp.int32), (nb & 15).astype(jnp.int32)],
-                axis=-1,
-            ).reshape(-1)
-            s = jnp.where(v >= 8, v - 16, v)  # signed nibble in [-8, 7]
-            marker = s == -8
+            # inverse of _encode_rgb_nibbles / _encode_rgb_5bit: fixed-width
+            # signed fields -> residuals, escape positions recovered from
+            # the marker mask by prefix sum, pixels rebuilt with one planar
+            # mod-256 cumsum.
+            if rgb_codec == 4:
+                nbytes, max_esc = (3 * h * w) // 2, self.max_rgb_esc
+                nb = buf[4 : 4 + nbytes]
+                v = jnp.stack(
+                    [(nb >> 4).astype(jnp.int32), (nb & 15).astype(jnp.int32)],
+                    axis=-1,
+                ).reshape(-1)
+                s = jnp.where(v >= 8, v - 16, v)  # signed nibble in [-8, 7]
+                marker = s == -8
+                o = self._rgb_codec_block
+            else:  # 5-bit fields, packed LSB-first: value i occupies stream
+                # bits [5i, 5i+5), extracted via a little-endian 2-byte window
+                nbytes, max_esc = self._rgb5_bytes, self.max_rgb_esc5
+                nb = jnp.concatenate(
+                    [buf[4 : 4 + nbytes], jnp.zeros((1,), buf.dtype)]
+                ).astype(jnp.int32)
+                bit = jnp.arange(3 * h * w, dtype=jnp.int32) * 5
+                byi = bit >> 3
+                win = nb[byi] | (nb[byi + 1] << 8)
+                v = (win >> (bit & 7)) & 0x1F
+                s = jnp.where(v >= 16, v - 32, v)  # signed 5-bit [-16, 15]
+                marker = s == -16
+                o = self._rgb_codec5_block
             eidx = jnp.cumsum(marker.astype(jnp.int32)) - 1
-            evals = buf[4 + nbytes : 4 + nbytes + self.max_rgb_esc].astype(
-                jnp.int32
-            )
-            ev = evals[jnp.clip(eidx, 0, self.max_rgb_esc - 1)]
+            evals = buf[4 + nbytes : 4 + nbytes + max_esc].astype(jnp.int32)
+            ev = evals[jnp.clip(eidx, 0, max_esc - 1)]
             res = jnp.where(marker, ev, s & 0xFF)  # mod-256 residual
             flat = jnp.cumsum(res) % 256
             rgb = jnp.transpose(
                 flat.reshape(3, h, w), (1, 2, 0)
             ).astype(jnp.float32)
-            o = self._rgb_codec_block
         else:
             rgb = buf[: self._rgb_bytes].reshape(h, w, 3).astype(jnp.float32)
             o = self._rgb_bytes
@@ -876,9 +968,11 @@ class MaskRefinerPredictor:
 
     def _unpack_for(self, input_rle):
         """input_rle: False (dense), True (RLE, raw rgb), "codec" (RLE +
-        4-bit RGB codec)."""
+        4-bit RGB codec), "codec5" (RLE + 5-bit RGB codec)."""
         if input_rle == "codec":
-            return partial(self._unpack_buf_rle, rgb_codec=True)
+            return partial(self._unpack_buf_rle, rgb_codec=4)
+        if input_rle == "codec5":
+            return partial(self._unpack_buf_rle, rgb_codec=5)
         return self._unpack_buf_rle if input_rle else self._unpack_buf
 
     def _group_batch(self, pre):
@@ -1040,7 +1134,8 @@ class MaskRefinerPredictor:
 
     def _pipe_for(self, rle_out: bool, rle_in, mesh=None):
         """Resolve the jitted batch pipeline for an (output, input) encoding
-        pair; rle_in is False (dense), True (RLE, raw rgb) or "codec"."""
+        pair; rle_in is False (dense), True (RLE, raw rgb), "codec"
+        (4-bit RGB) or "codec5" (5-bit RGB)."""
         if mesh is None:
             return {
                 (False, False): self._pipeline_packed_batch,
@@ -1049,6 +1144,8 @@ class MaskRefinerPredictor:
                 (True, True): self._pipeline_rlein_batch_rle,
                 (False, "codec"): self._pipeline_rlecin_batch,
                 (True, "codec"): self._pipeline_rlecin_batch_rle,
+                (False, "codec5"): self._pipeline_rlec5in_batch,
+                (True, "codec5"): self._pipeline_rlec5in_batch_rle,
                 (False, "dense"): self._pipeline_dense_batch,
                 (True, "dense"): self._pipeline_dense_batch_rle,
             }[(rle_out, rle_in)]
@@ -1070,16 +1167,34 @@ class MaskRefinerPredictor:
             try_codec = self._rgb_codec_ok
             if try_codec:
                 packed = [
-                    self._pack_inputs_rle(*f, rgb_codec=True) for f in batch
+                    self._pack_inputs_rle(*f, rgb_codec=4) for f in batch
                 ]
                 if all(p is not None for p in packed):
                     return "codec", np.stack(packed), real
+            try_codec5 = self._rgb_codec5_ok
+            if try_codec5:
+                # 4-bit escapes overflowed (textured/noisy RGB): the wider
+                # 5-bit fields usually still beat raw by ~20% on the wire
+                packed = [
+                    self._pack_inputs_rle(*f, rgb_codec=5) for f in batch
+                ]
+                if all(p is not None for p in packed):
+                    if try_codec:
+                        self._rgb_codec_ok = False  # skip 4-bit next time
+                    self._rgb_codec5_strikes = 0
+                    return "codec5", np.stack(packed), real
             packed = [self._pack_inputs_rle(*f) for f in batch]
             if all(p is not None for p in packed):
-                if try_codec:
-                    # masks/depth fit but RGB escapes overflowed: this
-                    # stream's RGB is incompressible, stop attempting
+                if try_codec and not try_codec5:
                     self._rgb_codec_ok = False
+                if try_codec5:
+                    # this batch goes raw; disarm the 5-bit tier (and the
+                    # 4-bit attempt with it) only after 3 consecutive
+                    # over-budget batches — see __init__
+                    self._rgb_codec5_strikes += 1
+                    if self._rgb_codec5_strikes >= 3:
+                        self._rgb_codec_ok = False
+                        self._rgb_codec5_ok = False
                 return True, np.stack(packed), real
         # dense fallback: a frame's masks exceeded the input run budget
         return False, np.stack([self._pack_inputs(*f) for f in batch]), real

@@ -16,6 +16,7 @@ C++/CUDA; here the device side is XLA/Pallas and the host side is this).
 API (all return None when the native library is unavailable, letting the
 caller fall back to numpy; all write into caller-provided buffers):
     rgb_nibble_encode(rgb_hwc, max_esc, out_block) -> n_esc | -1 | None
+    rgb_5bit_encode(rgb_hwc, max_esc, out_block) -> n_esc | -1 | None
     depth_delta_encode(depth_flat, dmax, sentinel, pos_bytes, val) -> k|-1|None
     mask_runs_encode(flat, max_runs, sentinel, starts_b, ends_b) -> k|-1|None
     pack_rgbd(rgb_hwc, depth_mono, out_hw4) -> True | None
@@ -44,7 +45,7 @@ def _load_lib():
         os.path.join(os.path.dirname(__file__), "..", "csrc",
                      "libquber_codec.so")
     )
-    if not os.path.exists(path):
+    def _build() -> bool:
         import subprocess
 
         try:
@@ -52,13 +53,29 @@ def _load_lib():
                 ["make", "-C", os.path.dirname(path)], check=True,
                 capture_output=True,
             )
+            return True
         except Exception:
-            _LIB = False
             return False
+
+    if not os.path.exists(path) and not _build():
+        _LIB = False
+        return False
     try:
         lib = ctypes.CDLL(path)
+        if not hasattr(lib, "rgb_5bit_encode"):
+            # stale committed .so from before a codec was added: rebuild
+            # from source once, then re-dlopen
+            if not _build():
+                _LIB = False
+                return False
+            lib = ctypes.CDLL(path)
         lib.rgb_nibble_encode.restype = ctypes.c_int
         lib.rgb_nibble_encode.argtypes = [
+            _U8P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _U8P,
+            ctypes.c_int64,
+        ]
+        lib.rgb_5bit_encode.restype = ctypes.c_int
+        lib.rgb_5bit_encode.argtypes = [
             _U8P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _U8P,
             ctypes.c_int64,
         ]
@@ -94,6 +111,20 @@ def rgb_nibble_encode(rgb_hwc: np.ndarray, max_esc: int,
     h, w = rgb.shape[:2]
     return lib.rgb_nibble_encode(_ptr(rgb), h, w, max_esc, _ptr(out_block),
                                  out_block.nbytes)
+
+
+def rgb_5bit_encode(rgb_hwc: np.ndarray, max_esc: int,
+                    out_block: np.ndarray):
+    """Write the [n_esc u32 | 5-bit fields | escapes] block; n_esc or -1."""
+    lib = _load_lib()
+    if not lib:
+        return None
+    rgb = np.ascontiguousarray(rgb_hwc, np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"rgb must be (h, w, 3) uint8, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    return lib.rgb_5bit_encode(_ptr(rgb), h, w, max_esc, _ptr(out_block),
+                               out_block.nbytes)
 
 
 def depth_delta_encode(depth_flat: np.ndarray, dmax: int, sentinel: int,

@@ -250,6 +250,120 @@ def test_rgb_nibble_codec_roundtrip_and_fallback(rng):
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
 
+def test_rgb_5bit_codec_roundtrip_and_negotiation(rng):
+    # textured RGB whose residuals blow the 4-bit escape budget but fit
+    # 5-bit fields: the negotiation must land on "codec5" (not raw), the
+    # device decode must reproduce the pixels exactly, and the wire must
+    # be smaller than the raw-RGB RLE layout
+    import jax
+
+    h = w = 64
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=8)
+    ys, xs = np.mgrid[:h, :w]
+    # texture amplitude 6 -> planar first-differences up to ~10.4 LSB
+    # (d/dx of 6 sin(2.1x) is 12.6): escapes 4-bit ([-7, 7]) on ~1/3 of
+    # pixels (over its 12.5% budget) but sits inside 5-bit ([-15, 15])
+    # essentially everywhere
+    tex = 6.0 * np.sin(xs * 2.1) * np.cos(ys * 1.7)
+    rgb = np.clip(
+        np.stack([90 + tex, 120 + tex, 60 - tex], -1) + rng.randn(h, w, 3) * 2,
+        0, 255,
+    ).astype(np.uint8)
+    depth = np.clip(60 + 120 * ys / h, 0, 255).astype(np.uint8)
+    masks = [(ys - 30) ** 2 + (xs - 30) ** 2 <= 100]
+
+    # 4-bit overflows, 5-bit holds
+    assert predictor._pack_inputs_rle(rgb, depth, masks, rgb_codec=4) is None
+    buf = predictor._pack_inputs_rle(rgb, depth, masks, rgb_codec=5)
+    assert buf is not None and buf.size == predictor._in_bytes_rlec5
+    assert predictor._in_bytes_rlec5 < predictor._in_bytes_rle
+
+    image, dmasks, _ = jax.jit(
+        lambda b: predictor._unpack_buf_rle(b, rgb_codec=5)
+    )(jnp.asarray(buf))
+    np.testing.assert_array_equal(
+        np.asarray(image)[..., :3], rgb.astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(image)[..., 3], depth.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(dmasks)[0], masks[0])
+
+    # negotiation: batch path picks codec5 and end-to-end matches dense
+    mode, stacked, real = predictor._pack_batch(
+        [(rgb, depth, masks)] * 2, 2, input_rle=True)
+    assert mode == "codec5" and real == 2
+    frames = [(rgb, depth, masks)] * 3
+    a = list(predictor.predict_batch_stream(frames, batch_size=2,
+                                            input_rle=False))
+    b = list(predictor.predict_batch_stream(frames, batch_size=2,
+                                            input_rle=True))
+    assert predictor._rgb_codec5_ok
+    for (p1, c1, s1), (p2, c2, s2) in zip(a, b):
+        np.testing.assert_array_equal(p1, p2)
+        assert c1 == c2
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    # full-entropy RGB still falls through codec5 to the raw layout; a
+    # single over-budget batch must NOT disarm the codec (3-strike rule),
+    # so a later compressible batch re-engages codec5
+    noise = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    assert predictor._pack_inputs_rle(noise, depth, masks, rgb_codec=5) is None
+    mode, _, _ = predictor._pack_batch(
+        [(noise, depth, masks)] * 2, 2, input_rle=True)
+    assert mode is True  # raw-RGB RLE layout
+    assert predictor._rgb_codec5_ok  # one strike: still armed
+    mode, _, _ = predictor._pack_batch(
+        [(rgb, depth, masks)] * 2, 2, input_rle=True)
+    assert mode == "codec5" and predictor._rgb_codec5_strikes == 0
+    for _ in range(3):  # three consecutive raw batches disarm the tier
+        mode, _, _ = predictor._pack_batch(
+            [(noise, depth, masks)] * 2, 2, input_rle=True)
+        assert mode is True
+    assert not predictor._rgb_codec5_ok and not predictor._rgb_codec_ok
+
+
+def test_rgb_5bit_native_matches_numpy(rng):
+    # the C++ single-pass encoder must be byte-identical to the numpy body
+    from quber_tpu import transport_native as tn
+
+    if not tn.available():
+        import pytest
+
+        pytest.skip("native codec lib unavailable")
+    h = w = 48
+    cfg = MaskRefinerConfig(height=h, width=w, use_pallas_grouping=False)
+    predictor = MaskRefinerPredictor(cfg, max_instances=4)
+    ys, xs = np.mgrid[:h, :w]
+    tex = 6.0 * np.sin(xs * 2.1) * np.cos(ys * 1.7)
+    rgb = np.clip(
+        np.stack([90 + tex, 120 + tex, 60 - tex], -1) + rng.randn(h, w, 3) * 2,
+        0, 255,
+    ).astype(np.uint8)
+
+    native = np.empty((predictor._rgb_codec5_block,), np.uint8)
+    ne = tn.rgb_5bit_encode(rgb, predictor.max_rgb_esc5, native)
+    assert ne is not None and ne >= 0
+
+    # numpy fallback body, forced
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        type(predictor)._encode_rgb_5bit.__globals__["_native"],
+        "available", lambda: False,
+    ):
+        ref = predictor._encode_rgb_5bit(rgb)
+    np.testing.assert_array_equal(native, ref)
+
+    # overflow parity: full-entropy rgb -> -1 native, None numpy
+    noise = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    assert tn.rgb_5bit_encode(noise, predictor.max_rgb_esc5, native) == -1
+    with mock.patch.object(
+        type(predictor)._encode_rgb_5bit.__globals__["_native"],
+        "available", lambda: False,
+    ):
+        assert predictor._encode_rgb_5bit(noise) is None
+
+
 def test_staged_stream_matches_host_stream(rng):
     # stage_frames + predict_batch_stream_staged (HBM-resident inputs, the
     # benchmark's timed path) must produce exactly what the host-streaming

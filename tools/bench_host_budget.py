@@ -95,17 +95,18 @@ def main():
     results = {}
     # Codec-choice context for readers of the artifact: the hardened
     # (round-3) synthetic textures escape the 4-bit RGB delta codec's
-    # 12.5% budget on ~most frames (measured ~26% mean escape fraction;
-    # real camera RGB with sigma<=5 LSB noise stays under ~9%), so those
-    # frames travel in the plain-RGB RLE layout — which is what
-    # `in_rle_measured_mean` reflects. A 5-bit variant would win (~0.69
-    # bytes/px at ~6% escapes) on this content; on a PCIe host either
-    # layout is far below frame time.
+    # 12.5% budget on ~most frames (measured ~27% mean escape fraction;
+    # real camera RGB with sigma<=5 LSB noise stays under ~9%). Since
+    # round 5 those frames fall through to the 5-bit codec (escapes ~6%
+    # mean / 17% max vs an 18.75% budget) instead of raw RGB — the
+    # negotiation below mirrors predictor._pack_batch exactly.
 
     def pack_rle(rgb, depth, masks):
-        buf = pred._pack_inputs_rle(rgb, depth, masks, rgb_codec=True)
-        # budget overflow falls back to the plain-RGB RLE layout, exactly
-        # like the production packer (predictor._pack_batch)
+        buf = pred._pack_inputs_rle(rgb, depth, masks, rgb_codec=4)
+        if buf is None:
+            buf = pred._pack_inputs_rle(rgb, depth, masks, rgb_codec=5)
+        # 5-bit budget overflow falls back to the plain-RGB RLE layout,
+        # exactly like the production packer (predictor._pack_batch)
         return buf if buf is not None else pred._pack_inputs_rle(rgb, depth, masks)
 
     if have_native:
@@ -166,6 +167,7 @@ def main():
     results["bytes_per_frame"] = {
         "in_rle_measured_mean": int(np.mean(pack_bytes)),
         "in_rle_codec_layout": pred._in_bytes_rlec,
+        "in_rle_codec5_layout": pred._in_bytes_rlec5,
         "in_rle_layout": pred._in_bytes_rle,
         "in_dense_layout": pred._in_bytes,
         "out_rle_layout": pred._rle_bytes,
