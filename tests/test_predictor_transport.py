@@ -237,12 +237,16 @@ def test_rgb_nibble_codec_roundtrip_and_fallback(rng):
         assert c1 == c2
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
-    # incompressible RGB: per-frame overflow -> raw-RGB layout + sticky skip
+    # incompressible RGB: per-frame overflow -> raw-RGB layout; the codec
+    # tiers disarm only after 3 consecutive over-budget BATCHES (one
+    # outlier frame must not push a compressible stream to raw for good),
+    # so 6 noise frames at batch_size=2 = 3 strikes = disarm
     noise = (rng.rand(h, w, 3) * 255).astype(np.uint8)
     assert predictor._pack_inputs_rle(noise, depth, masks, rgb_codec=True) is None
-    frames_n = [(noise, depth, masks)] * 3
+    frames_n = [(noise, depth, masks)] * 6
     c = list(predictor.predict_batch_stream(frames_n, batch_size=2, input_rle=True))
-    assert not predictor._rgb_codec_ok
+    assert predictor._rgb_codec5_strikes >= 3 or not predictor._rgb_codec5_ok
+    assert not predictor._rgb_codec_ok and not predictor._rgb_codec5_ok
     d = list(predictor.predict_batch_stream(frames_n, batch_size=2, input_rle=False))
     for (p1, c1, s1), (p2, c2, s2) in zip(c, d):
         np.testing.assert_array_equal(p1, p2)
